@@ -1,0 +1,284 @@
+"""Finite-volume stencil operators on the uniform Cartesian grid.
+
+TPU-native replacement for the OpenFOAM ``fvc::``/``fvm::`` operator surface
+the reference solvers use:
+
+* ``fvc::grad``       (`/root/reference/icoFoamYade/icoFoamYade.C:71,93,136`)
+* ``fvc::div``        (`icoFoamYade.C:120`, `pimpleFoamYade/pEqn.H:31`)
+* ``fvm::laplacian``  (`icoFoamYade.C:83,120`, `pEqn.H:28`)
+* ``fvc::flux`` / ``fvc::interpolate`` (`icoFoamYade.C:104-105`,
+  `pimpleFoamYade/UcEqn.H:17-19`)
+* ``fvc::reconstruct`` (`UcEqn.H:27`, `pEqn.H:43`)
+
+All operators come in two forms:
+
+* ``*_padded``: pure interior kernels consuming arrays that already carry a
+  one-cell ghost shell. These are the only compute bodies; they contain no
+  BC logic, so the ICI-sharded path (`parallel/halo.py`) reuses them after
+  filling ghosts via `lax.ppermute`.
+* thin wrappers that pad from a `FieldBC` and then call the padded kernel —
+  the single-device convenience API.
+
+Shapes: scalars ``(nx,ny,nz)``; vectors ``(3,nx,ny,nz)``; tensors
+``(3,3,nx,ny,nz)`` with ``T[i,j] = dU_i/dx_j``; face fluxes are 3-tuples of
+face-normal values on x/y/z faces (``(nx+1,ny,nz)`` etc.).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .grid import FieldBC, Grid, pad_scalar, pad_vector
+
+Flux = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+def _diff(fp: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Forward difference along `axis` of a padded-along-axis array."""
+    n = fp.shape[axis]
+    a = jax.lax.slice_in_dim(fp, 1, n, axis=axis)
+    b = jax.lax.slice_in_dim(fp, 0, n - 1, axis=axis)
+    return a - b
+
+
+def _mean(fp: jnp.ndarray, axis: int) -> jnp.ndarray:
+    n = fp.shape[axis]
+    a = jax.lax.slice_in_dim(fp, 1, n, axis=axis)
+    b = jax.lax.slice_in_dim(fp, 0, n - 1, axis=axis)
+    return 0.5 * (a + b)
+
+
+def _strip_other_axes(fp: jnp.ndarray, axis: int, offset: int = 0) -> jnp.ndarray:
+    """Remove ghost shells on all axes except `axis` (last `offset` axes are
+    grid axes; offset handles leading component axes)."""
+    idx = [slice(None)] * fp.ndim
+    for a in range(3):
+        if a != axis:
+            idx[offset + a] = slice(1, -1)
+    return fp[tuple(idx)]
+
+
+# ---------------------------------------------------------------------------
+# Gradient
+# ---------------------------------------------------------------------------
+
+def grad_scalar_padded(fp: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Central-difference cell gradient from a padded scalar: (3,nx,ny,nz)."""
+    comps = []
+    for axis in range(3):
+        f = _strip_other_axes(fp, axis)
+        n = f.shape[axis]
+        hi = jax.lax.slice_in_dim(f, 2, n, axis=axis)
+        lo = jax.lax.slice_in_dim(f, 0, n - 2, axis=axis)
+        comps.append((hi - lo) / (2.0 * grid.spacing[axis]))
+    return jnp.stack(comps)
+
+
+def grad_scalar(f: jnp.ndarray, bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    return grad_scalar_padded(pad_scalar(f, bc), grid)
+
+
+def grad_vector_padded(up: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Velocity-gradient tensor G[i,j] = dU_i/dx_j: (3,3,nx,ny,nz)."""
+    rows = []
+    for c in range(3):
+        rows.append(grad_scalar_padded(up[c], grid))
+    return jnp.stack(rows)  # [i, j, ...] = d u_i / d x_j
+
+
+def grad_vector(u: jnp.ndarray, bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    return grad_vector_padded(pad_vector(u, bc), grid)
+
+
+def curl_from_grad(G: jnp.ndarray) -> jnp.ndarray:
+    """curl(U) from the gradient tensor G[i,j]=dU_i/dx_j.
+
+    Replaces the vorticity extraction in the reference's torque models
+    (`/root/reference/FoamYade/FoamYade.C:450-452,469-475` — note the two
+    reference sites disagree in sign; we use the right-handed curl).
+    """
+    wx = G[2, 1] - G[1, 2]
+    wy = G[0, 2] - G[2, 0]
+    wz = G[1, 0] - G[0, 1]
+    return jnp.stack([wx, wy, wz])
+
+
+# ---------------------------------------------------------------------------
+# Face interpolation and fluxes
+# ---------------------------------------------------------------------------
+
+def face_interp_padded(fp: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Linear face values along `axis` from a padded scalar (other-axis
+    ghosts stripped): x-faces -> (nx+1,ny,nz) etc."""
+    f = _strip_other_axes(fp, axis)
+    return _mean(f, axis)
+
+
+def face_interp_all_padded(fp: jnp.ndarray) -> Flux:
+    return tuple(face_interp_padded(fp, a) for a in range(3))
+
+
+def face_interp(f: jnp.ndarray, bc: FieldBC, grid: Grid) -> Flux:
+    """``fvc::interpolate`` to all faces."""
+    return face_interp_all_padded(pad_scalar(f, bc))
+
+
+def flux_padded(up: jnp.ndarray, grid: Grid) -> Flux:
+    """``fvc::flux(U)`` — face-normal velocity from padded vector field."""
+    return tuple(face_interp_padded(up[a], a) for a in range(3))
+
+
+def flux(u: jnp.ndarray, bc: FieldBC, grid: Grid) -> Flux:
+    return flux_padded(pad_vector(u, bc), grid)
+
+
+def face_grad_padded(fp: jnp.ndarray, grid: Grid) -> Flux:
+    """``fvc::snGrad`` — normal gradient (f_hi - f_lo)/h at every face."""
+    out = []
+    for axis in range(3):
+        f = _strip_other_axes(fp, axis)
+        out.append(_diff(f, axis) / grid.spacing[axis])
+    return tuple(out)
+
+
+def face_grad(f: jnp.ndarray, bc: FieldBC, grid: Grid) -> Flux:
+    return face_grad_padded(pad_scalar(f, bc), grid)
+
+
+# ---------------------------------------------------------------------------
+# Divergence
+# ---------------------------------------------------------------------------
+
+def div_flux(phi: Flux, grid: Grid) -> jnp.ndarray:
+    """``fvc::div(phi)`` of face-normal velocities -> cell scalar (1/s)."""
+    out = 0.0
+    for axis in range(3):
+        out = out + _diff(phi[axis], axis) / grid.spacing[axis]
+    return out
+
+
+def div_vector(u: jnp.ndarray, bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    return div_flux(flux(u, bc, grid), grid)
+
+
+def _face_value(fp_c: jnp.ndarray, axis: int, phi_ax: jnp.ndarray, scheme: str) -> jnp.ndarray:
+    """Face value of a (padded-along-axis, others stripped) scalar for
+    convection: 'linear' (central) or 'upwind' on the sign of phi."""
+    n = fp_c.shape[axis]
+    hi = jax.lax.slice_in_dim(fp_c, 1, n, axis=axis)
+    lo = jax.lax.slice_in_dim(fp_c, 0, n - 1, axis=axis)
+    if scheme == "linear":
+        return 0.5 * (hi + lo)
+    if scheme == "upwind":
+        return jnp.where(phi_ax >= 0.0, lo, hi)
+    if scheme == "linearUpwind":  # blended: central with upwind deferred corr.
+        return 0.75 * 0.5 * (hi + lo) + 0.25 * jnp.where(phi_ax >= 0.0, lo, hi)
+    raise ValueError(f"unknown convection scheme {scheme!r}")
+
+
+def div_phi_scalar_padded(phi: Flux, fp: jnp.ndarray, grid: Grid, scheme: str = "linear") -> jnp.ndarray:
+    """``fvc::div(phi, f)`` — conservative convection of a padded scalar."""
+    out = 0.0
+    for axis in range(3):
+        f = _strip_other_axes(fp, axis)
+        face = _face_value(f, axis, phi[axis], scheme)
+        out = out + _diff(phi[axis] * face, axis) / grid.spacing[axis]
+    return out
+
+
+def div_phi_vector_padded(phi: Flux, up: jnp.ndarray, grid: Grid, scheme: str = "linear") -> jnp.ndarray:
+    """``fvc::div(phi, U)`` per component: (3,nx,ny,nz)."""
+    return jnp.stack([div_phi_scalar_padded(phi, up[c], grid, scheme) for c in range(3)])
+
+
+# ---------------------------------------------------------------------------
+# Laplacian
+# ---------------------------------------------------------------------------
+
+def laplacian_padded(fp: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Constant-coefficient 7-point Laplacian of a padded scalar."""
+    out = 0.0
+    for axis in range(3):
+        f = _strip_other_axes(fp, axis)
+        n = f.shape[axis]
+        hi = jax.lax.slice_in_dim(f, 2, n, axis=axis)
+        mid = jax.lax.slice_in_dim(f, 1, n - 1, axis=axis)
+        lo = jax.lax.slice_in_dim(f, 0, n - 2, axis=axis)
+        out = out + (hi - 2.0 * mid + lo) / (grid.spacing[axis] ** 2)
+    return out
+
+
+def laplacian(f: jnp.ndarray, bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    return laplacian_padded(pad_scalar(f, bc), grid)
+
+
+def laplacian_vector_padded(up: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    return jnp.stack([laplacian_padded(up[c], grid) for c in range(3)])
+
+
+def laplacian_vector(u: jnp.ndarray, bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    return laplacian_vector_padded(pad_vector(u, bc), grid)
+
+
+def laplacian_facegamma_padded(gamma_f: Flux, fp: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """Variable-coefficient ``fvm::laplacian(gamma, p)`` applied matrix-free:
+    div( gamma_f * snGrad(p) ).
+
+    This is the operator of the reference's hottest path — the pressure
+    equation `fvm::laplacian(rAU, p)` (`icoFoamYade.C:120`) and
+    `fvm::laplacian(alphacf*rAUcf, p)` (`pimpleFoamYade/pEqn.H:28`).
+    ``gamma_f`` is precomputed on faces so the CG loop pays one pad per
+    matvec, not two.
+    """
+    out = 0.0
+    for axis in range(3):
+        f = _strip_other_axes(fp, axis)
+        g = _diff(f, axis) / grid.spacing[axis]          # snGrad on faces
+        out = out + _diff(gamma_f[axis] * g, axis) / grid.spacing[axis]
+    return out
+
+
+def laplacian_facegamma_scalar_padded(gamma_f: Flux, fp: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    return laplacian_facegamma_padded(gamma_f, fp, grid)
+
+
+def laplacian_gamma(gamma: jnp.ndarray, f: jnp.ndarray, gamma_bc: FieldBC, f_bc: FieldBC, grid: Grid) -> jnp.ndarray:
+    gf = face_interp(gamma, gamma_bc, grid)
+    return laplacian_facegamma_padded(gf, pad_scalar(f, f_bc), grid)
+
+
+def laplacian_gamma_vector_padded(gamma_f: Flux, up: jnp.ndarray, grid: Grid) -> jnp.ndarray:
+    """div(gamma_f grad U) per component — used for `fvc::laplacian(alphac, Uc)`
+    (the `divT` coupling input, `pimpleFoamYade/pimpleFoamYade.C:75`)."""
+    return jnp.stack([laplacian_facegamma_padded(gamma_f, up[c], grid) for c in range(3)])
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction
+# ---------------------------------------------------------------------------
+
+def reconstruct(face_vals: Flux) -> jnp.ndarray:
+    """``fvc::reconstruct`` — cell-centred vector from face-normal values
+    (average of the two faces on each axis). Used for the body-force flux
+    in the PIMPLE momentum/pressure coupling (`UcEqn.H:27`, `pEqn.H:43`)."""
+    comps = []
+    for axis in range(3):
+        comps.append(_mean(face_vals[axis], axis))
+    return jnp.stack(comps)
+
+
+def surface_sum_abs_over_V(phi: Flux, grid: Grid) -> jnp.ndarray:
+    """``fvc::surfaceSum(mag(phi))/V`` per cell — the Courant-number kernel
+    (`/root/reference/pimpleFoamYade/CourantNo.H:38-42`). With `phi` holding
+    face-normal velocities, sum(|u_f| A)/V = sum_axis (|u_lo|+|u_hi|)/h."""
+    out = 0.0
+    for axis in range(3):
+        p = jnp.abs(phi[axis])
+        n = p.shape[axis]
+        hi = jax.lax.slice_in_dim(p, 1, n, axis=axis)
+        lo = jax.lax.slice_in_dim(p, 0, n - 1, axis=axis)
+        out = out + (hi + lo) / grid.spacing[axis]
+    return out
