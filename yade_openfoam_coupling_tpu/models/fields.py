@@ -1,0 +1,144 @@
+"""State pytrees: fluid, particles, turbulence, and the coupled sim state.
+
+The reference splits this state across two processes: grid fields live in
+OpenFOAM (`/root/reference/icoFoamYade/createFields.H`,
+`pimpleFoamYade/createFields.H`) and particle state lives in Yade, crossing
+the MPI boundary as 10-double records (`FoamYade.C:190-219`). Here both are
+leaves of one pytree advanced by one jitted step, so "communication" is a
+gather/scatter and checkpointing captures the *whole* coupled state (the
+reference checkpoints only the fluid half — SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid import Grid
+
+FaceFlux = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+class FluidState(NamedTuple):
+    """The grid half of the coupled state.
+
+    Mirrors the field set of `createFields.H` (icoFoamYade:16-169 /
+    pimpleFoamYade:32-261): U, p, phi plus the four coupling fields the
+    engine writes (`FoamYade.H:85-90`) and alpha's previous value for
+    ddt(alpha) in the PIMPLE pressure equation (`pEqn.H:30`)."""
+
+    u: jnp.ndarray              # (3, nx, ny, nz) velocity
+    p: jnp.ndarray              # (nx, ny, nz) kinematic pressure p/rho
+    phi: FaceFlux               # face-normal velocities
+    alpha: jnp.ndarray          # fluid volume fraction (1 in point mode)
+    alpha_old: jnp.ndarray
+    u_source: jnp.ndarray       # (3, grid) explicit momentum source [m/s^2]
+    u_source_drag: jnp.ndarray  # implicit drag coefficient [1/s], <= 0
+    u_particle: jnp.ndarray     # (3, grid) cell-averaged particle velocity
+
+
+class TurbulenceState(NamedTuple):
+    """Closure state for the DPM turbulence models (reference C6,
+    `DPMTurbulenceModels.C:37-77`: laminar/kEpsilon/Smagorinsky/kEqn)."""
+
+    k: jnp.ndarray       # turbulent kinetic energy (unused by laminar/Smag)
+    epsilon: jnp.ndarray # dissipation (kEpsilon only)
+    nut: jnp.ndarray     # eddy viscosity
+
+
+class ParticleState(NamedTuple):
+    """Fixed-capacity SoA particle arrays — the DEM half.
+
+    The wire record of the reference (pos, linVel, rotVel, radius —
+    `FoamYade.C:190-219`) plus what Yade keeps on its side (mass/inertia
+    implied by radius & density). `active` masks capacity padding."""
+
+    pos: jnp.ndarray       # (N, 3)
+    vel: jnp.ndarray       # (N, 3)
+    angvel: jnp.ndarray    # (N, 3)
+    radius: jnp.ndarray    # (N,)
+    active: jnp.ndarray    # (N,) bool
+
+    @property
+    def n_capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+class SimState(NamedTuple):
+    """Everything one coupled step advances."""
+
+    fluid: FluidState
+    particles: ParticleState
+    turb: TurbulenceState
+    t: jnp.ndarray          # simulation time
+    dt: jnp.ndarray         # current fluid time step (adaptive)
+    step: jnp.ndarray       # int32 step counter
+
+
+class StepDiagnostics(NamedTuple):
+    """Per-step observability, matching the reference's step banner:
+    Courant mean/max (`CourantNo.H:48-49`), continuity errors
+    (`continuityErrs.H:42-45`), pressure-solver iterations/residuals
+    (OpenFOAM solver log), and particle force summary."""
+
+    co_mean: jnp.ndarray
+    co_max: jnp.ndarray
+    cont_err_local: jnp.ndarray
+    cont_err_global: jnp.ndarray
+    p_iters: jnp.ndarray
+    p_initial_residual: jnp.ndarray
+    p_final_residual: jnp.ndarray
+    n_found: jnp.ndarray        # particles located in the domain
+    max_particle_speed: jnp.ndarray
+
+
+def make_fluid_state(grid: Grid, dtype=jnp.float32) -> FluidState:
+    ones = jnp.ones(grid.shape, dtype)
+    return FluidState(
+        u=grid.zeros_vector(dtype),
+        p=grid.zeros_scalar(dtype),
+        phi=grid.zeros_flux(dtype),
+        alpha=ones,
+        alpha_old=ones,
+        u_source=grid.zeros_vector(dtype),
+        u_source_drag=grid.zeros_scalar(dtype),
+        u_particle=grid.zeros_vector(dtype),
+    )
+
+
+def make_turbulence_state(grid: Grid, k0: float = 0.0, eps0: float = 0.0,
+                          dtype=jnp.float32) -> TurbulenceState:
+    return TurbulenceState(
+        k=jnp.full(grid.shape, k0, dtype),
+        epsilon=jnp.full(grid.shape, eps0, dtype),
+        nut=grid.zeros_scalar(dtype),
+    )
+
+
+def make_particle_state(
+    pos, vel=None, angvel=None, radius=0.001, capacity: Optional[int] = None,
+    dtype=jnp.float32,
+) -> ParticleState:
+    """Build a padded particle state from (n,3) positions."""
+    pos = jnp.asarray(pos, dtype)
+    n = pos.shape[0]
+    cap = capacity if capacity is not None else n
+    assert cap >= n
+
+    def pad2(x, fill=0.0):
+        return jnp.concatenate([x, jnp.full((cap - n,) + x.shape[1:], fill, dtype)])
+
+    vel = jnp.zeros((n, 3), dtype) if vel is None else jnp.asarray(vel, dtype)
+    angvel = jnp.zeros((n, 3), dtype) if angvel is None else jnp.asarray(angvel, dtype)
+    radius = (
+        jnp.full((n,), radius, dtype)
+        if jnp.ndim(radius) == 0
+        else jnp.asarray(radius, dtype)
+    )
+    active = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(cap - n, bool)])
+    return ParticleState(
+        pos=pad2(pos), vel=pad2(vel), angvel=pad2(angvel),
+        radius=pad2(radius, 1e-6), active=active,
+    )

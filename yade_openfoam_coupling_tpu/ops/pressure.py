@@ -126,30 +126,40 @@ def pcg(
     z0 = M(r0)
     rz0 = gdot(r0, z0)
     rnorm0 = jnp.sqrt(gdot(r0, r0))
+    # Residual scale: guard warm starts — when x0 is already (nearly) the
+    # solution, |r0| is tiny and a purely relative test would over-iterate
+    # into f32 breakdown on the (semi-definite) operator.
+    bnorm = jnp.sqrt(gdot(b, b))
+    ref = jnp.maximum(rnorm0, bnorm)
+
+    def converged(rnorm):
+        return jnp.logical_or(rnorm <= tol * ref, rnorm <= atol)
 
     def cond(state):
-        x, r, z, p, rz, rnorm, it = state
-        return jnp.logical_and(
-            it < maxiter,
-            jnp.logical_and(rnorm > tol * rnorm0, rnorm > atol),
-        )
+        x, r, z, p, rz, rnorm, it, done = state
+        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
 
     def body(state):
-        x, r, z, p, rz, rnorm, it = state
+        x, r, z, p, rz, rnorm, it, done = state
         Ap = apply_A(p)
         pAp = gdot(p, Ap)
-        alpha = rz / jnp.where(pAp == 0.0, 1.0, pAp)
+        # Breakdown guard: the Poisson operator is negative semi-definite,
+        # so a well-posed direction has pAp < 0. |pAp| ~ 0 (nullspace) or a
+        # sign flip means further iteration is numerical noise — stop.
+        breakdown = pAp >= -1e-30 * jnp.maximum(gdot(p, p), 1e-30)
+        alpha = jnp.where(breakdown, 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = gdot(r, z)
-        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        beta = jnp.where(breakdown, 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz))
         p = z + beta * p
         rnorm = jnp.sqrt(gdot(r, r))
-        return (x, r, z, p, rz_new, rnorm, it + 1)
+        done = jnp.logical_or(converged(rnorm), breakdown)
+        return (x, r, z, p, rz_new, rnorm, it + 1, done)
 
-    state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0))
-    x, r, z, p, rz, rnorm, it = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0), converged(rnorm0))
+    x, r, z, p, rz, rnorm, it, done = jax.lax.while_loop(cond, body, state)
     return CGResult(x, it, rnorm, rnorm0)
 
 
