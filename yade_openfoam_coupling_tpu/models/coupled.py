@@ -1,0 +1,241 @@
+"""The coupled CFD-DEM driver: one jitted step for the whole system.
+
+This module is where the reference's entire two-program architecture
+collapses. The reference runs OpenFOAM and Yade as separate MPI programs
+(`mpiexec -n 1 yade : -n 2 icoFoamYade`, README.md:29) that synchronize
+through blocking sends each step (`FoamYade::setParticleAction`,
+`/root/reference/FoamYade/FoamYade.C:605-632`). Here the fluid solve, the
+coupling exchange, and the DEM substeps are stages of ONE pure function
+`coupled_step`, jit-compiled as a whole, so XLA fuses across what used to
+be a process boundary and multi-chip scaling is sharding, not MPMD.
+
+Step order mirrors the reference loop bodies (`icoFoamYade.C:65-148`,
+`pimpleFoamYade.C:60-113`):
+
+  1. Courant number + adaptive dt        (CourantNo.H, setDeltaT.H)
+  2. refresh coupling inputs             (vGrad, gradP, divT, ddtU_f —
+                                          pimpleFoamYade.C:73-76)
+  3. coupling exchange                   (setParticleAction)
+  4. DEM substeps under the hydro force  (Yade side, SURVEY.md §3.4)
+  5. fluid pressure-velocity step        (PISO or PIMPLE + turbulence)
+  6. sources implicitly reset            (setSourceZero is a no-op in the
+                                          functional formulation: coupling
+                                          fields are rebuilt every step)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import coupling as cp
+from ..ops import dem as demod
+from ..ops import stencil as st
+from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from ..utils.diagnostics import TimeControls, continuity_errors, courant, new_dt
+from . import turbulence as turb_mod
+from .fields import (
+    FluidState,
+    ParticleState,
+    SimState,
+    StepDiagnostics,
+    TurbulenceState,
+)
+from .pimple import PIMPLEConfig, pimple_step
+from .piso import FluidBCs, PISOConfig, piso_step
+
+_NEU = FieldBC.uniform("neumann")
+
+
+@dataclasses.dataclass(frozen=True)
+class TransportProperties:
+    """`transportProperties` dictionary parity
+    (`icoFoamYade/createFields.H:16-45`: nu, partDensity, fluidDensity)."""
+
+    nu: float = 1e-6
+    rho_f: float = 1000.0
+    rho_p: float = 2500.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CaseConfig:
+    """Full static configuration of a coupled case — the typed equivalent
+    of an OpenFOAM case directory (controlDict + fvSolution + fvSchemes +
+    transportProperties + turbulenceProperties) plus the Yade-side DEM
+    parameters."""
+
+    grid: Grid
+    bcs: FluidBCs
+    transport: TransportProperties = TransportProperties()
+    solver: str = "piso"                 # 'piso' (icoFoamYade) | 'pimple'
+    coupling: cp.CouplingConfig = cp.CouplingConfig(gaussian=False)
+    dem: demod.DEMConfig = demod.DEMConfig()
+    piso: PISOConfig = PISOConfig()
+    pimple: PIMPLEConfig = PIMPLEConfig()
+    turbulence: turb_mod.TurbulenceConfig = turb_mod.TurbulenceConfig()
+    time: TimeControls = TimeControls()
+    n_dem_substeps: int = 10             # ceil(dt_fluid/dt_DEM) of exchangeDT
+    r_max: float = 1e-3                  # max particle radius (cell lists)
+    gravity_fluid: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def periodic_axes(self):
+        return self.bcs.periodic_axes()
+
+
+def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt):
+    """The derived grid fields the engine consumes — the refresh block of
+    `pimpleFoamYade.C:73-76` (ddtU_f, gradP, divT, vGrad)."""
+    up = pad_vector(fs.u, bcs.u)
+    G = st.grad_vector_padded(up, grid)
+    curl_u = st.curl_from_grad(G)
+    grad_p = st.grad_scalar(fs.p, bcs.p, grid)
+    alpha_f = st.face_interp(fs.alpha, _NEU, grid)
+    div_tau = 2.0 * nu * st.laplacian_gamma_vector_padded(alpha_f, up, grid)
+    conv = st.div_phi_vector_padded(fs.phi, up, grid)
+    ddt_u = (fs.u - fs.u_old) / dt + conv
+    return curl_u, grad_p, div_tau, ddt_u
+
+
+def exchange(
+    fs: FluidState,
+    ps: ParticleState,
+    grid: Grid,
+    bcs: FluidBCs,
+    tp: TransportProperties,
+    cfg: cp.CouplingConfig,
+    dt,
+) -> cp.CouplingResult:
+    """The `setParticleAction` equivalent: one in-memory coupling exchange."""
+    periodic = bcs.periodic_axes()
+    curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt)
+    pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
+    if cfg.gaussian:
+        return cp.gaussian_coupling(
+            pf, fs.u, grad_p, div_tau, ddt_u, curl_u,
+            grid, periodic, tp.nu, tp.rho_f, dt, cfg,
+        )
+    return cp.point_force_coupling(
+        pf, fs.u, curl_u, grid, periodic, tp.nu, tp.rho_f, cfg,
+    )
+
+
+def initialize_state(
+    fluid: FluidState,
+    particles: ParticleState,
+    turb: TurbulenceState,
+    cfg: CaseConfig,
+    dt: float,
+    t0: float = 0.0,
+) -> SimState:
+    """Build a self-consistent initial SimState.
+
+    Runs the coupling once so `alpha` and `alpha_old` both reflect the
+    initial particle configuration — otherwise the first step sees a
+    spurious ddt(alpha) = (alpha - 1)/dt compaction source that spikes the
+    pressure (the reference has the same hazard: `initFields` sets
+    alpha = 1 everywhere, `FoamYade.C:68`, regardless of particles)."""
+    dt_arr = jnp.asarray(dt, jnp.float32)
+    cres = exchange(fluid, particles, cfg.grid, cfg.bcs, cfg.transport,
+                    cfg.coupling, dt_arr)
+    fluid = fluid._replace(
+        alpha=cres.alpha,
+        alpha_old=cres.alpha,
+        u_particle=cres.u_particle,
+    )
+    return SimState(
+        fluid=fluid, particles=particles, turb=turb,
+        t=jnp.asarray(t0, jnp.float32), dt=dt_arr, step=jnp.int32(0),
+    )
+
+
+def coupled_step(state: SimState, cfg: CaseConfig) -> Tuple[SimState, StepDiagnostics]:
+    """Advance the coupled system one fluid time step."""
+    grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
+    fs, ps, tb = state.fluid, state.particles, state.turb
+
+    # 1. Courant + adaptive dt
+    co_mean, co_max = courant(fs.phi, grid, state.dt)
+    dt = new_dt(co_max, state.dt, cfg.time)
+
+    # 2-3. coupling exchange
+    cres = exchange(fs, ps, grid, bcs, tp, cfg.coupling, dt)
+
+    fs = fs._replace(
+        alpha=cres.alpha,
+        alpha_old=fs.alpha,
+        u_source=cres.u_source,
+        u_source_drag=cres.u_source_drag,
+        u_particle=cres.u_particle,
+    )
+
+    # 4. DEM substeps (hydro force held constant over the fluid dt, as in
+    #    the reference's once-per-fluid-step force send)
+    dt_dem = dt / cfg.n_dem_substeps
+    pos, vel, angvel = demod.dem_substeps(
+        ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
+        demod.DEMForces(cres.force, cres.torque),
+        grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+    )
+    ps = ps._replace(pos=pos, vel=vel, angvel=angvel)
+
+    # 5. fluid step
+    u_prev = fs.u
+    if cfg.solver == "piso":
+        fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso)
+        tb2 = tb
+    elif cfg.solver == "pimple":
+        tb2 = turb_mod.correct(tb, fs, grid, bcs, tp.nu, dt, cfg.turbulence)
+        g = jnp.asarray(cfg.gravity_fluid, fs.u.dtype)
+        fs2, info = pimple_step(fs, grid, bcs, tp.nu, tb2.nut, g, dt, cfg.pimple)
+    else:
+        raise ValueError(f"unknown solver {cfg.solver!r}")
+    fs2 = fs2._replace(u_old=u_prev)
+
+    # diagnostics
+    cont_local, cont_global = continuity_errors(
+        fs2.phi, fs2.alpha, fs2.alpha_old, grid, dt
+    )
+    diag = StepDiagnostics(
+        co_mean=co_mean,
+        co_max=co_max,
+        cont_err_local=cont_local,
+        cont_err_global=cont_global,
+        p_iters=info.iters,
+        p_initial_residual=info.initial_residual,
+        p_final_residual=info.final_residual,
+        n_found=jnp.sum(cres.found.astype(jnp.int32)),
+        max_particle_speed=jnp.max(
+            jnp.where(ps.active, jnp.linalg.norm(ps.vel, axis=-1), 0.0)
+        ),
+    )
+
+    new_state = SimState(
+        fluid=fs2,
+        particles=ps,
+        turb=tb2,
+        t=state.t + dt,
+        dt=dt,
+        step=state.step + 1,
+    )
+    return new_state, diag
+
+
+def make_step_fn(cfg: CaseConfig):
+    """jit-compiled single coupled step."""
+    return jax.jit(lambda s: coupled_step(s, cfg))
+
+
+def make_scan_fn(cfg: CaseConfig, n_steps: int):
+    """jit-compiled `lax.scan` over n_steps coupled steps (the inner loop
+    the benchmarks time — zero host round-trips between steps)."""
+
+    def run(state: SimState):
+        def body(s, _):
+            s, d = coupled_step(s, cfg)
+            return s, d
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(run)

@@ -30,6 +30,7 @@ class FluidState(NamedTuple):
     ddt(alpha) in the PIMPLE pressure equation (`pEqn.H:30`)."""
 
     u: jnp.ndarray              # (3, nx, ny, nz) velocity
+    u_old: jnp.ndarray          # previous-step velocity (ddt inputs)
     p: jnp.ndarray              # (nx, ny, nz) kinematic pressure p/rho
     phi: FaceFlux               # face-normal velocities
     alpha: jnp.ndarray          # fluid volume fraction (1 in point mode)
@@ -98,6 +99,7 @@ def make_fluid_state(grid: Grid, dtype=jnp.float32) -> FluidState:
     ones = jnp.ones(grid.shape, dtype)
     return FluidState(
         u=grid.zeros_vector(dtype),
+        u_old=grid.zeros_vector(dtype),
         p=grid.zeros_scalar(dtype),
         phi=grid.zeros_flux(dtype),
         alpha=ones,

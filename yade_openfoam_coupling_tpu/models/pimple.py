@@ -1,0 +1,137 @@
+"""PIMPLE 4-way pressure-velocity solver: the pimpleFoamYade equivalent.
+
+Re-derives `/root/reference/pimpleFoamYade/{pimpleFoamYade.C,UcEqn.H,pEqn.H}`
+(the DPMFoam-family phase-fraction-weighted PIMPLE loop) TPU-natively:
+
+* phase momentum (`UcEqn.H:3-10`):
+      ddt(alphac,Uc) + div(alphaPhic,Uc)
+    - Sp(ddt(alphac)+div(alphaPhic), Uc)
+    + divDevRhoReff(Uc)  ==  Sp(uSourceDrag, Uc)
+  Implicit Euler diagonal with the two Sp terms (phase-continuity
+  correction and the semi-implicit drag) folded into A; convection and the
+  alpha-weighted viscous stress are explicit deferred terms recomputed each
+  outer iteration (Picard), playing the role of OpenFOAM's updated
+  UEqn.A()/H().
+* body forces enter through the face flux `phicForces = flux(rAUc*uSource)
+  + rAUcf*(g & Sf)` (`UcEqn.H:17-20`) — never as a cell-centred source —
+  which is what keeps hydrostatic balance discretely exact.
+* pressure (`pEqn.H:26-35`):
+      laplacian(alphacf*rAUcf, p) == ddt(alphac) + div(alphacf*phiHbyA)
+  solved matrix-free by MG-PCG; flux and velocity reconstruction follow
+  `pEqn.H:39-45`.
+* deliberate divergence: only the alpha-weighted Laplacian part of
+  divDevRhoReff is kept (the deviatoric transpose term of the
+  phase-incompressible stress is dropped; for incompressible flow it is a
+  gradient absorbed by p except where grad(alpha) is large — to be added
+  with the full Reff in a later round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pressure as pr
+from ..ops import stencil as st
+from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from .fields import FluidState
+from .piso import FluidBCs, PressureSolveInfo
+
+
+@dataclasses.dataclass(frozen=True)
+class PIMPLEConfig:
+    """Maps the reference's PIMPLE controls (fvSolution `PIMPLE` dict)."""
+
+    n_outer: int = 2            # pimple.loop() outer correctors
+    n_correctors: int = 1       # pimple.correct() pressure correctors
+    momentum_predictor: bool = False
+    convection_scheme: str = "linear"
+    pressure: pr.PressureSolverConfig = pr.PressureSolverConfig()
+
+
+_NEU = FieldBC.uniform("neumann")
+
+
+def pimple_step(
+    fs: FluidState,
+    grid: Grid,
+    bcs: FluidBCs,
+    nu: float,
+    nut: jnp.ndarray,
+    g: jnp.ndarray,
+    dt,
+    cfg: PIMPLEConfig = PIMPLEConfig(),
+) -> Tuple[FluidState, PressureSolveInfo]:
+    """One PIMPLE step. `fs.alpha/u_source/u_source_drag/u_particle` must
+    already hold this step's coupling output (the reference calls
+    `setParticleAction` before the corrector loop,
+    `pimpleFoamYade.C:78-91`)."""
+    alpha = fs.alpha
+    alpha_old = fs.alpha_old
+    alpha_f = st.face_interp(alpha, _NEU, grid)                 # alphacf
+    phi_alpha = tuple(alpha_f[a] * fs.phi[a] for a in range(3)) # alphaPhic
+
+    ddt_alpha = (alpha - alpha_old) / dt
+    div_phi_alpha = st.div_flux(phi_alpha, grid)
+    sp_cont = ddt_alpha + div_phi_alpha
+
+    nu_eff = nu + nut
+    gamma_visc = st.face_interp(alpha * nu_eff, _NEU, grid)
+
+    u = fs.u
+    p = fs.p
+    phi = fs.phi
+    info = None
+
+    for _outer in range(cfg.n_outer):
+        up = pad_vector(u, bcs.u)
+        conv = st.div_phi_vector_padded(phi_alpha, up, grid, cfg.convection_scheme)
+        visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
+
+        A = alpha / dt - sp_cont - fs.u_source_drag
+        H = alpha * fs.u_old / dt - conv + visc
+        rAU = 1.0 / A
+        HbyA = rAU[None] * H
+        rAU_f = st.face_interp(rAU, _NEU, grid)                 # rAUcf ("Dp")
+
+        # phicForces (UcEqn.H:17-20): body-force face flux
+        force_flux = st.flux(rAU[None] * fs.u_source, _NEU, grid)
+        phic_forces = tuple(
+            force_flux[a] + rAU_f[a] * g[a] for a in range(3)
+        )
+
+        if cfg.momentum_predictor:
+            snp = st.face_grad(p, bcs.p, grid)
+            u = HbyA + rAU[None] * st.reconstruct(
+                tuple(phic_forces[a] / rAU_f[a] - snp[a] for a in range(3))
+            )
+
+        for _corr in range(cfg.n_correctors):
+            phiHbyA = st.flux(HbyA, bcs.u, grid)
+            phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))
+
+            gamma_p = tuple(alpha_f[a] * rAU_f[a] for a in range(3))
+            rhs = ddt_alpha + st.div_flux(
+                tuple(alpha_f[a] * phiHbyA[a] for a in range(3)), grid
+            )
+            res = pr.solve_pressure(gamma_p, rhs, p, grid, bcs.p, cfg.pressure)
+            p = res.x
+            info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
+
+            snp = st.face_grad(p, bcs.p, grid)
+            # pEqn.flux()/alphacf = rAU_f * snGrad(p)
+            pflux_over_alpha = tuple(rAU_f[a] * snp[a] for a in range(3))
+            phi = tuple(phiHbyA[a] - pflux_over_alpha[a] for a in range(3))
+            u = HbyA + rAU[None] * st.reconstruct(
+                tuple((phic_forces[a] - pflux_over_alpha[a]) / rAU_f[a] for a in range(3))
+            )
+        # refresh the alpha-weighted convective flux for the next outer pass
+        phi_alpha = tuple(alpha_f[a] * phi[a] for a in range(3))
+        div_phi_alpha = st.div_flux(phi_alpha, grid)
+        sp_cont = ddt_alpha + div_phi_alpha
+
+    new = fs._replace(u=u, p=p, phi=phi)
+    return new, info

@@ -1,0 +1,371 @@
+"""Discrete-element engine: contacts, neighbor search, leapfrog integration.
+
+The reference outsources the DEM half to Yade (its `FoamCoupling` engine —
+not in the reference repo; protocol documented in SURVEY.md §3.4): Yade
+applies the hydrodynamic force received over MPI, runs
+ceil(dt_fluid/dt_DEM) spring-dashpot substeps, and sends back particle
+state. A self-contained framework needs the DEM side too, so this module
+implements the standard Yade-style contact model TPU-natively:
+
+* linear spring-dashpot normal contact + Coulomb-capped tangential friction
+  (Cundall-Strack, the model class of Yade's default
+  Law2_ScGeom_FrictPhys_CundallStrack),
+* neighbor search by uniform-grid cell hashing — vectorized sort +
+  fixed-occupancy bins (the jax-md cell-list pattern) instead of Yade's
+  sweep-and-prune collider; an O(N^2) all-pairs path for small N,
+* wall contacts against the domain box faces, minimum-image convention on
+  periodic axes,
+* symplectic leapfrog (velocity-Verlet) with `lax.scan` sub-stepping driven
+  by the dt_fluid/dt_DEM ratio — the in-memory replacement of the
+  `exchangeDT` handshake (`/root/reference/FoamYade/FoamYade.C:537-553`).
+
+Everything is fixed-shape and mask-based: inactive capacity padding takes
+part in the math with zero radius/force and is never branched on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import Grid
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactParams:
+    """Linear spring-dashpot contact model parameters (Yade FrictMat-style)."""
+
+    kn: float = 1.0e4        # normal stiffness [N/m]
+    kt_over_kn: float = 0.5  # tangential/normal stiffness ratio
+    restitution: float = 0.5 # normal restitution -> dashpot coefficient
+    friction: float = 0.5    # Coulomb friction coefficient
+    rho_p: float = 2500.0    # particle material density
+
+
+@dataclasses.dataclass(frozen=True)
+class DEMConfig:
+    params: ContactParams = ContactParams()
+    gravity: tuple[float, float, float] = (0.0, 0.0, -9.81)
+    # buoyancy adds -rho_f * V_p * g; in 4-way (Gaussian) mode the Archimedes
+    # force already carries the hydrostatic -grad p, so leave this False
+    # there; in point-force mode (icoFoamYade) the fluid has no gravity term
+    # and the net weight must be applied here.
+    buoyancy: bool = False
+    rho_f: float = 1000.0
+    # neighbor search: 'allpairs' (exact, O(N^2), fine to ~4k) or 'cells'
+    neighbor: str = "allpairs"
+    cell_capacity: int = 8       # max particles per hash cell ('cells' mode)
+    # walls: per axis, whether the domain box faces are solid walls
+    wall_axes: tuple[bool, bool, bool] = (True, True, True)
+    periodic: tuple[bool, bool, bool] = (False, False, False)
+
+
+def particle_mass(radius: jnp.ndarray, rho_p: float) -> jnp.ndarray:
+    return rho_p * (4.0 / 3.0) * jnp.pi * radius ** 3
+
+
+def particle_inertia(radius: jnp.ndarray, rho_p: float) -> jnp.ndarray:
+    """Solid-sphere moment of inertia 2/5 m r^2."""
+    return 0.4 * particle_mass(radius, rho_p) * radius ** 2
+
+
+def _normal_damping(kn: float, m_eff: jnp.ndarray, restitution: float) -> jnp.ndarray:
+    """Dashpot coefficient from restitution e: c = -2 ln e sqrt(kn m)/sqrt(pi^2+ln^2 e)."""
+    e = max(min(restitution, 0.999), 1e-4)
+    ln_e = np.log(e)
+    beta = -ln_e / np.sqrt(np.pi ** 2 + ln_e ** 2)
+    return 2.0 * beta * jnp.sqrt(kn * m_eff)
+
+
+def _pair_force(
+    dx: jnp.ndarray,      # (..., 3) x_i - x_j (minimum image applied)
+    vi, vj, wi, wj,       # velocities / angular velocities (...,3)
+    ri, rj,               # radii (...)
+    mi, mj,               # masses (...)
+    p: ContactParams,
+    valid,                # (...) bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Force and torque on particle i from contact with j (vectorized)."""
+    dist = jnp.linalg.norm(dx, axis=-1)
+    overlap = ri + rj - dist
+    touching = valid & (overlap > 0.0) & (dist > 1e-12)
+    dist_safe = jnp.where(dist > 1e-12, dist, 1.0)
+    n = dx / dist_safe[..., None]                       # from j toward i
+
+    # relative velocity of i's surface w.r.t. j's surface at the contact
+    ci = -ri[..., None] * n                             # contact vec from i
+    cj = rj[..., None] * n
+    v_rel = (vi + jnp.cross(wi, ci)) - (vj + jnp.cross(wj, cj))
+    v_n = jnp.sum(v_rel * n, axis=-1)
+    v_t = v_rel - v_n[..., None] * n
+
+    m_eff = (mi * mj) / jnp.maximum(mi + mj, 1e-30)
+    cn = _normal_damping(p.kn, m_eff, p.restitution)
+
+    f_n_mag = p.kn * overlap - cn * v_n                 # spring + dashpot
+    f_n_mag = jnp.maximum(f_n_mag, 0.0)                 # no cohesion
+    f_n = f_n_mag[..., None] * n
+
+    # tangential: viscous (history-less) capped by Coulomb friction.
+    # Yade's default law integrates a tangential spring with history; the
+    # history-less cap is the standard fixed-shape variant (shear-history
+    # state would need a persistent contact table — future round).
+    kt = p.kt_over_kn * p.kn
+    ct = 2.0 * 0.5 * jnp.sqrt(kt * m_eff)
+    f_t = -ct[..., None] * v_t
+    f_t_mag = jnp.linalg.norm(f_t, axis=-1)
+    cap = p.friction * f_n_mag
+    scale = jnp.where(f_t_mag > 1e-30, jnp.minimum(1.0, cap / jnp.maximum(f_t_mag, 1e-30)), 0.0)
+    f_t = f_t * scale[..., None]
+
+    f = jnp.where(touching[..., None], f_n + f_t, 0.0)
+    torque = jnp.cross(ci, f_t)
+    torque = jnp.where(touching[..., None], torque, 0.0)
+    return f, torque
+
+
+def _min_image(dx: jnp.ndarray, grid: Grid, periodic) -> jnp.ndarray:
+    L = jnp.asarray(grid.lengths, dx.dtype)
+    per = jnp.asarray(periodic)
+    wrapped = dx - L * jnp.round(dx / L)
+    return jnp.where(per, wrapped, dx)
+
+
+# ---------------------------------------------------------------------------
+# All-pairs contact forces (exact, small N)
+# ---------------------------------------------------------------------------
+
+def allpairs_contact_forces(
+    pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N = pos.shape[0]
+    p = cfg.params
+    m = particle_mass(radius, p.rho_p)
+
+    dx = pos[:, None, :] - pos[None, :, :]
+    dx = _min_image(dx, grid, cfg.periodic)
+    valid = active[:, None] & active[None, :] & ~jnp.eye(N, dtype=bool)
+
+    f, t = _pair_force(
+        dx,
+        vel[:, None, :], vel[None, :, :],
+        angvel[:, None, :], angvel[None, :, :],
+        radius[:, None], radius[None, :],
+        m[:, None], m[None, :],
+        p, valid,
+    )
+    return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Cell-list contact forces (large N): sort by hash, fixed-occupancy bins
+# ---------------------------------------------------------------------------
+
+def _dem_cell_grid(grid: Grid, r_max: float) -> Tuple[Tuple[int, int, int], Tuple[float, float, float]]:
+    """Hash-cell counts and sizes: cells at least 2*r_max wide."""
+    dims, sizes = [], []
+    for a in range(3):
+        L = grid.lengths[a]
+        n = max(1, int(np.floor(L / max(2.0 * r_max, 1e-12))))
+        dims.append(n)
+        sizes.append(L / n)
+    return tuple(dims), tuple(sizes)
+
+
+def cell_list_contact_forces(
+    pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig, r_max: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(N * 27 * capacity) contact forces via spatial hashing.
+
+    Replaces the role of Yade's collider; same math as `allpairs`, checked
+    in tests by equivalence on random packings."""
+    N = pos.shape[0]
+    p = cfg.params
+    cap = cfg.cell_capacity
+    dims, sizes = _dem_cell_grid(grid, r_max)
+    ncell = dims[0] * dims[1] * dims[2]
+
+    origin = jnp.asarray(grid.origin, pos.dtype)
+    csz = jnp.asarray(sizes, pos.dtype)
+    nvec = jnp.asarray(dims, jnp.int32)
+
+    ijk = jnp.floor((pos - origin) / csz).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, nvec - 1)
+    cell = ijk[:, 0] * (dims[1] * dims[2]) + ijk[:, 1] * dims[2] + ijk[:, 2]
+    cell = jnp.where(active, cell, ncell)           # park inactive in scrap bin
+
+    # stable sort particles by cell; compute each particle's slot in its cell
+    order = jnp.argsort(cell)                        # (N,)
+    cell_sorted = cell[order]
+    # rank within cell: position among equal keys
+    idx_in_cell = jnp.arange(N) - jnp.searchsorted(cell_sorted, cell_sorted, side="left")
+    # bin table: (ncell+1, cap) of particle indices (N = empty)
+    table = jnp.full((ncell + 1) * cap, N, jnp.int32)
+    slot = jnp.clip(cell_sorted, 0, ncell) * cap + jnp.minimum(idx_in_cell, cap - 1)
+    keep = idx_in_cell < cap                        # overflow silently dropped
+    table = table.at[jnp.where(keep, slot, (ncell + 1) * cap - 1)].set(
+        jnp.where(keep, order.astype(jnp.int32), N)
+    )
+    table = table.reshape(ncell + 1, cap)
+
+    # gather candidate indices: 27 neighbor cells x cap
+    offs = jnp.asarray(
+        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1).reshape(-1, 3),
+        jnp.int32,
+    )                                                # (27,3)
+    nb = ijk[:, None, :] + offs[None, :, :]          # (N,27,3)
+    per = jnp.asarray(cfg.periodic)
+    nb_wrapped = jnp.mod(nb, nvec)
+    in_rng = jnp.all((nb >= 0) & (nb < nvec) | per[None, None, :], axis=-1)
+    nb_cell = (
+        nb_wrapped[..., 0] * (dims[1] * dims[2])
+        + nb_wrapped[..., 1] * dims[2]
+        + nb_wrapped[..., 2]
+    )
+    nb_cell = jnp.where(in_rng, nb_cell, ncell)      # scrap bin when off-grid
+    cand = table[nb_cell]                            # (N, 27, cap)
+    cand = cand.reshape(N, 27 * cap)
+
+    # pad arrays with one ghost slot (index N)
+    def padded(x, fill=0.0):
+        return jnp.concatenate([x, jnp.full((1,) + x.shape[1:], fill, x.dtype)])
+
+    pos_p, vel_p, ang_p = padded(pos), padded(vel), padded(angvel)
+    rad_p = padded(radius)
+    act_p = jnp.concatenate([active, jnp.zeros((1,), bool)])
+    m = particle_mass(radius, p.rho_p)
+    m_p = padded(m, 1.0)
+
+    i_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    valid = act_p[cand] & active[:, None] & (cand != i_idx)
+
+    dx = pos[:, None, :] - pos_p[cand]
+    dx = _min_image(dx, grid, cfg.periodic)
+    f, t = _pair_force(
+        dx,
+        vel[:, None, :], vel_p[cand],
+        angvel[:, None, :], ang_p[cand],
+        radius[:, None], rad_p[cand],
+        m[:, None], m_p[cand],
+        p, valid,
+    )
+    return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Wall contacts
+# ---------------------------------------------------------------------------
+
+def wall_contact_forces(pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig):
+    """Contacts with the 6 domain box faces (spring-dashpot against an
+    infinite-mass plane)."""
+    p = cfg.params
+    m = particle_mass(radius, p.rho_p)
+    f_total = jnp.zeros_like(pos)
+    t_total = jnp.zeros_like(pos)
+    lo = jnp.asarray(grid.origin, pos.dtype)
+    hi = jnp.asarray(grid.upper, pos.dtype)
+
+    for axis in range(3):
+        if not cfg.wall_axes[axis] or cfg.periodic[axis]:
+            continue
+        for side, plane in ((0, lo[axis]), (1, hi[axis])):
+            # outward normal of the wall pointing into the domain
+            n = jnp.zeros((3,), pos.dtype).at[axis].set(1.0 if side == 0 else -1.0)
+            gap = jnp.where(side == 0, pos[:, axis] - plane, plane - pos[:, axis])
+            overlap = radius - gap
+            dx = (radius + gap)[:, None] * n[None, :]   # vector from mirror point
+            # reuse the pair kernel against a static mirror particle
+            f, t = _pair_force(
+                dx,
+                vel, jnp.zeros_like(vel),
+                angvel, jnp.zeros_like(angvel),
+                radius, radius,   # mirror has same radius -> overlap matches
+                m, jnp.full_like(m, 1e30),
+                p, active & (overlap > 0.0),
+            )
+            f_total = f_total + f
+            t_total = t_total + t
+    return f_total, t_total
+
+
+# ---------------------------------------------------------------------------
+# Integration
+# ---------------------------------------------------------------------------
+
+class DEMForces(NamedTuple):
+    force: jnp.ndarray    # (N,3) external (hydro) force, constant over substeps
+    torque: jnp.ndarray   # (N,3)
+
+
+def contact_forces(pos, vel, angvel, radius, active, grid, cfg: DEMConfig, r_max: float):
+    if cfg.neighbor == "allpairs":
+        fc, tc = allpairs_contact_forces(pos, vel, angvel, radius, active, grid, cfg)
+    elif cfg.neighbor == "cells":
+        fc, tc = cell_list_contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
+    else:
+        raise ValueError(f"unknown neighbor mode {cfg.neighbor!r}")
+    fw, tw = wall_contact_forces(pos, vel, angvel, radius, active, grid, cfg)
+    return fc + fw, tc + tw
+
+
+def dem_substeps(
+    pos, vel, angvel, radius, active,
+    hydro: DEMForces,
+    grid: Grid,
+    cfg: DEMConfig,
+    dt_dem,
+    n_sub: int,
+    r_max: float,
+):
+    """Advance the DEM state n_sub leapfrog substeps under constant hydro
+    force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
+    "Yade runs ceil(dt_fluid/dt_DEM) substeps per exchange")."""
+    p = cfg.params
+    m = particle_mass(radius, p.rho_p)
+    inertia = particle_inertia(radius, p.rho_p)
+    g = jnp.asarray(cfg.gravity, pos.dtype)
+    vol = (4.0 / 3.0) * jnp.pi * radius ** 3
+    f_grav = m[:, None] * g[None, :]
+    if cfg.buoyancy:
+        f_grav = f_grav - cfg.rho_f * vol[:, None] * g[None, :]
+
+    inv_m = jnp.where(active, 1.0 / m, 0.0)[:, None]
+    inv_I = jnp.where(active, 1.0 / inertia, 0.0)[:, None]
+
+    def accel(pos, vel, angvel):
+        fc, tc = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
+        f = fc + f_grav + hydro.force
+        t = tc + hydro.torque
+        return f * inv_m, t * inv_I
+
+    def body(state, _):
+        pos, vel, angvel = state
+        a, aw = accel(pos, vel, angvel)
+        # velocity Verlet (kick-drift-kick)
+        vel_h = vel + 0.5 * dt_dem * a
+        angvel_h = angvel + 0.5 * dt_dem * aw
+        pos_n = pos + dt_dem * vel_h
+        a2, aw2 = accel(pos_n, vel_h, angvel_h)
+        vel_n = vel_h + 0.5 * dt_dem * a2
+        angvel_n = angvel_h + 0.5 * dt_dem * aw2
+        # wrap periodic axes
+        lo = jnp.asarray(grid.origin, pos.dtype)
+        L = jnp.asarray(grid.lengths, pos.dtype)
+        per = jnp.asarray(cfg.periodic)
+        pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
+        return (pos_n, vel_n, angvel_n), None
+
+    (pos, vel, angvel), _ = jax.lax.scan(body, (pos, vel, angvel), None, length=n_sub)
+    return pos, vel, angvel
+
+
+def critical_dt(radius_min: float, params: ContactParams) -> float:
+    """Rayleigh-style critical DEM time step: dt_c ~ sqrt(m_min/kn) * safety."""
+    m_min = float(params.rho_p * (4.0 / 3.0) * np.pi * radius_min ** 3)
+    return 0.2 * float(np.sqrt(m_min / params.kn))

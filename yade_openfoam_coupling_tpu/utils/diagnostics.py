@@ -1,0 +1,66 @@
+"""Step diagnostics: Courant number, continuity errors, adaptive dt.
+
+Rebuilds the reference's per-step observability:
+
+* Courant mean/max — `/root/reference/pimpleFoamYade/CourantNo.H:38-49`
+  (also included by icoFoamYade at `icoFoamYade.C:68`)
+* adaptive time step — OpenFOAM's `setDeltaT.H` used at
+  `pimpleFoamYade.C:64` (dt scaled by maxCo/Co with a 1.2x growth damper)
+* continuity errors — `continuityErrs.H:33-45` (alpha-aware in the PIMPLE
+  solver)
+
+All of it is traced arithmetic inside the jitted step; host-side printing
+is in `utils/logging.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..ops import stencil as st
+from ..ops.grid import Grid
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeControls:
+    """Maps the controlDict time controls (`readTimeControls.H`)."""
+
+    adjust_time_step: bool = False
+    max_co: float = 0.5
+    max_dt: float = 1.0
+    min_dt: float = 1e-12
+
+
+def courant(phi, grid: Grid, dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, max) Courant number — `CourantNo.H:42-45`:
+    Co = 0.5 * sum_f |phi_f| A / V * dt."""
+    s = st.surface_sum_abs_over_V(phi, grid)
+    co = 0.5 * s * dt
+    return jnp.mean(co), jnp.max(co)
+
+
+def new_dt(co_max, dt, tc: TimeControls):
+    """`setDeltaT.H` logic: grow at most 1.2x toward maxCo, shrink as
+    needed, clamp to [min_dt, max_dt]."""
+    if not tc.adjust_time_step:
+        return dt
+    factor = tc.max_co / jnp.maximum(co_max, 1e-12)
+    # OpenFOAM damps growth: min(factor, 1 + 0.1*factor), capped at 1.2
+    factor = jnp.minimum(jnp.minimum(factor, 1.0 + 0.1 * factor), 1.2)
+    return jnp.clip(dt * factor, tc.min_dt, tc.max_dt)
+
+
+def continuity_errors(phi, alpha, alpha_old, grid: Grid, dt):
+    """(local, global) continuity error — the alpha-aware check of
+    `continuityErrs.H:33-40`: contErr = ddt(alpha) + div(alpha_f phi)."""
+    from ..ops.grid import FieldBC
+    alpha_f = st.face_interp(alpha, FieldBC.uniform("neumann"), grid)
+    cont = (alpha - alpha_old) / dt + st.div_flux(
+        tuple(alpha_f[a] * phi[a] for a in range(3)), grid
+    )
+    local = jnp.mean(jnp.abs(cont)) * dt
+    glob = jnp.mean(cont) * dt
+    return local, glob
