@@ -1,0 +1,166 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4's prescription: run the same sharded step on 1 vs N devices
+and assert tolerance equality — this validates the ppermute halo exchange,
+the owner-shard coupling with halo-reduction deposits, and the psum'd CG.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yade_openfoam_coupling_tpu.models import coupled as cd
+from yade_openfoam_coupling_tpu.models.fields import (
+    SimState,
+    make_fluid_state,
+    make_particle_state,
+    make_turbulence_state,
+)
+from yade_openfoam_coupling_tpu.models.pimple import PIMPLEConfig
+from yade_openfoam_coupling_tpu.models.piso import FluidBCs, PISOConfig
+from yade_openfoam_coupling_tpu.ops import coupling as cp
+from yade_openfoam_coupling_tpu.ops import dem
+from yade_openfoam_coupling_tpu.ops import pressure as pr
+from yade_openfoam_coupling_tpu.ops.grid import Grid
+from yade_openfoam_coupling_tpu.parallel import make_mesh
+from yade_openfoam_coupling_tpu.parallel import sharded as sh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+# use the same (Jacobi-PCG) pressure path on both sides for comparability
+_PCFG = pr.PressureSolverConfig(solver="pcg", tol=1e-7, maxiter=600)
+
+
+def _settling_cfg():
+    grid = Grid.cube(16, 8e-3)
+    return cd.CaseConfig(
+        grid=grid,
+        bcs=FluidBCs.box_noslip(),
+        transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
+        solver="piso",
+        coupling=cp.CouplingConfig(gaussian=False),
+        dem=dem.DEMConfig(
+            params=dem.ContactParams(rho_p=2500.0),
+            gravity=(0.0, 0.0, -9.81), buoyancy=True, rho_f=1000.0,
+        ),
+        piso=PISOConfig(n_correctors=1, pressure=_PCFG),
+        n_dem_substeps=4,
+    )
+
+
+def _gaussian_cfg():
+    grid = Grid.cube(16, 0.016)
+    return cd.CaseConfig(
+        grid=grid,
+        bcs=FluidBCs.channel_z(),
+        transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
+        solver="pimple",
+        coupling=cp.CouplingConfig(gaussian=True),
+        dem=dem.DEMConfig(
+            params=dem.ContactParams(kn=10.0, rho_p=2500.0),
+            gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+            periodic=(True, True, False), wall_axes=(False, False, True),
+        ),
+        pimple=PIMPLEConfig(n_outer=1, n_correctors=1, pressure=_PCFG),
+        gravity_fluid=(0.0, 0.0, -9.81),
+        n_dem_substeps=4,
+        r_max=4e-4,
+    )
+
+
+def _initial_state(cfg, pos, radius):
+    return cd.initialize_state(
+        make_fluid_state(cfg.grid),
+        make_particle_state(pos=pos, radius=radius),
+        make_turbulence_state(cfg.grid),
+        cfg, dt=1e-4,
+    )
+
+
+def _run_single(cfg, state, n):
+    run = cd.make_scan_fn(cfg, n)
+    return run(state)
+
+
+def _run_sharded(cfg, state, n, n_dev=8):
+    mesh = make_mesh(n_dev)
+    sstate = sh.to_sharded_state(state, cfg, mesh)
+    step = sh.make_sharded_scan(cfg, mesh, n)
+    out, diags = step(sstate)
+    # back to face-tuple form for comparison
+    fluid = out.fluid._replace(
+        phi=sh.lo_to_faces_host(out.fluid.phi, cfg.bcs.u)
+    )
+    return out._replace(fluid=fluid), diags
+
+
+def test_point_force_sharded_matches_single():
+    cfg = _settling_cfg()
+    state = _initial_state(cfg, [[4e-3, 4e-3, 6e-3]], 50e-6)
+    n = 5
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    np.testing.assert_allclose(
+        np.asarray(s8.particles.vel), np.asarray(s1.particles.vel),
+        rtol=1e-3, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u), atol=5e-7,
+    )
+    assert int(d8.n_found[-1]) == 1
+
+
+def test_gaussian_4way_sharded_matches_single():
+    cfg = _gaussian_cfg()
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(0.003, 0.013, (24, 3))
+    state = _initial_state(cfg, pos, 4e-4)
+    n = 4
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.alpha), np.asarray(s1.fluid.alpha),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.particles.pos), np.asarray(s1.particles.pos),
+        rtol=1e-4, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u),
+        rtol=1e-2, atol=1e-5,
+    )
+    assert int(d8.n_found[-1]) == 24
+
+
+def test_halo_pad_matches_bc_pad():
+    """ShardCtx.pad_s over 8 shards reproduces pad_scalar on the gathered
+    array for periodic and wall BCs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from yade_openfoam_coupling_tpu.ops.grid import FieldBC, pad_scalar
+    from yade_openfoam_coupling_tpu.parallel.ctx import ShardCtx
+
+    mesh = make_mesh(8)
+    f = jnp.arange(16 * 4 * 4, dtype=jnp.float32).reshape(16, 4, 4)
+    for bc in [FieldBC.periodic(), FieldBC.box("neumann"),
+               FieldBC.box("dirichlet", 2.5)]:
+        expected = pad_scalar(f, bc)
+
+        def body(fl):
+            ctx = ShardCtx(mesh_axes=("x", None, None))
+            fp = ctx.pad_s(fl, bc)
+            # drop the x ghosts (they overlap neighbours) but keep y/z
+            return fp[1:-1]
+
+        got = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"),
+            check_vma=False,
+        ))(f)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected[1:-1]), rtol=1e-6,
+        )

@@ -85,14 +85,14 @@ class CaseConfig:
         return self.bcs.periodic_axes()
 
 
-def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt):
+def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt, ctx):
     """The derived grid fields the engine consumes — the refresh block of
     `pimpleFoamYade.C:73-76` (ddtU_f, gradP, divT, vGrad)."""
-    up = pad_vector(fs.u, bcs.u)
+    up = ctx.pad_v(fs.u, bcs.u)
     G = st.grad_vector_padded(up, grid)
     curl_u = st.curl_from_grad(G)
-    grad_p = st.grad_scalar(fs.p, bcs.p, grid)
-    alpha_f = st.face_interp(fs.alpha, _NEU, grid)
+    grad_p = st.grad_scalar_padded(ctx.pad_s(fs.p, bcs.p), grid)
+    alpha_f = st.face_interp_all_padded(ctx.pad_s(fs.alpha, _NEU))
     div_tau = 2.0 * nu * st.laplacian_gamma_vector_padded(alpha_f, up, grid)
     conv = st.div_phi_vector_padded(fs.phi, up, grid)
     ddt_u = (fs.u - fs.u_old) / dt + conv
@@ -107,10 +107,13 @@ def exchange(
     tp: TransportProperties,
     cfg: cp.CouplingConfig,
     dt,
+    ctx=None,
 ) -> cp.CouplingResult:
     """The `setParticleAction` equivalent: one in-memory coupling exchange."""
+    from ..parallel.ctx import LOCAL
+    ctx = ctx if ctx is not None else LOCAL
     periodic = bcs.periodic_axes()
-    curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt)
+    curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx)
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
         return cp.gaussian_coupling(
@@ -151,17 +154,31 @@ def initialize_state(
     )
 
 
-def coupled_step(state: SimState, cfg: CaseConfig) -> Tuple[SimState, StepDiagnostics]:
-    """Advance the coupled system one fluid time step."""
+def coupled_step(
+    state: SimState,
+    cfg: CaseConfig,
+    ctx=None,
+    exchange_fn=None,
+) -> Tuple[SimState, StepDiagnostics]:
+    """Advance the coupled system one fluid time step.
+
+    `ctx` selects single-device / per-shard execution; `exchange_fn`
+    overrides the coupling exchange (the sharded path substitutes its
+    owner-shard + halo-reduction version, `parallel/sharded.py`)."""
+    from ..parallel.ctx import LOCAL
+    ctx = ctx if ctx is not None else LOCAL
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     fs, ps, tb = state.fluid, state.particles, state.turb
 
     # 1. Courant + adaptive dt
-    co_mean, co_max = courant(fs.phi, grid, state.dt)
+    co_mean, co_max = courant(fs.phi, grid, state.dt, ctx)
     dt = new_dt(co_max, state.dt, cfg.time)
 
     # 2-3. coupling exchange
-    cres = exchange(fs, ps, grid, bcs, tp, cfg.coupling, dt)
+    if exchange_fn is None:
+        cres = exchange(fs, ps, grid, bcs, tp, cfg.coupling, dt, ctx)
+    else:
+        cres = exchange_fn(fs, ps, dt)
 
     fs = fs._replace(
         alpha=cres.alpha,
@@ -184,19 +201,19 @@ def coupled_step(state: SimState, cfg: CaseConfig) -> Tuple[SimState, StepDiagno
     # 5. fluid step
     u_prev = fs.u
     if cfg.solver == "piso":
-        fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso)
+        fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso, ctx=ctx)
         tb2 = tb
     elif cfg.solver == "pimple":
-        tb2 = turb_mod.correct(tb, fs, grid, bcs, tp.nu, dt, cfg.turbulence)
+        tb2 = turb_mod.correct(tb, fs, grid, bcs, tp.nu, dt, cfg.turbulence, ctx=ctx)
         g = jnp.asarray(cfg.gravity_fluid, fs.u.dtype)
-        fs2, info = pimple_step(fs, grid, bcs, tp.nu, tb2.nut, g, dt, cfg.pimple)
+        fs2, info = pimple_step(fs, grid, bcs, tp.nu, tb2.nut, g, dt, cfg.pimple, ctx=ctx)
     else:
         raise ValueError(f"unknown solver {cfg.solver!r}")
     fs2 = fs2._replace(u_old=u_prev)
 
     # diagnostics
     cont_local, cont_global = continuity_errors(
-        fs2.phi, fs2.alpha, fs2.alpha_old, grid, dt
+        fs2.phi, fs2.alpha, fs2.alpha_old, grid, dt, ctx
     )
     diag = StepDiagnostics(
         co_mean=co_mean,
@@ -206,6 +223,8 @@ def coupled_step(state: SimState, cfg: CaseConfig) -> Tuple[SimState, StepDiagno
         p_iters=info.iters,
         p_initial_residual=info.initial_residual,
         p_final_residual=info.final_residual,
+        # `cres.found` is globally complete in both plumbings (the sharded
+        # exchange psums it), so no ctx reduction here
         n_found=jnp.sum(cres.found.astype(jnp.int32)),
         max_particle_speed=jnp.max(
             jnp.where(ps.active, jnp.linalg.norm(ps.vel, axis=-1), 0.0)

@@ -64,30 +64,36 @@ def pimple_step(
     g: jnp.ndarray,
     dt,
     cfg: PIMPLEConfig = PIMPLEConfig(),
+    ctx=None,
 ) -> Tuple[FluidState, PressureSolveInfo]:
     """One PIMPLE step. `fs.alpha/u_source/u_source_drag/u_particle` must
     already hold this step's coupling output (the reference calls
     `setParticleAction` before the corrector loop,
     `pimpleFoamYade.C:78-91`)."""
+    from ..parallel.ctx import LOCAL, LocalCtx
+    ctx = ctx if ctx is not None else LOCAL
     alpha = fs.alpha
     alpha_old = fs.alpha_old
-    alpha_f = st.face_interp(alpha, _NEU, grid)                 # alphacf
-    phi_alpha = tuple(alpha_f[a] * fs.phi[a] for a in range(3)) # alphaPhic
+    alpha_f = st.face_interp_all_padded(ctx.pad_s(alpha, _NEU))  # alphacf
+    phi_alpha = tuple(alpha_f[a] * fs.phi[a] for a in range(3))  # alphaPhic
 
     ddt_alpha = (alpha - alpha_old) / dt
     div_phi_alpha = st.div_flux(phi_alpha, grid)
     sp_cont = ddt_alpha + div_phi_alpha
 
     nu_eff = nu + nut
-    gamma_visc = st.face_interp(alpha * nu_eff, _NEU, grid)
+    gamma_visc = st.face_interp_all_padded(ctx.pad_s(alpha * nu_eff, _NEU))
 
     u = fs.u
     p = fs.p
     phi = fs.phi
     info = None
+    pcfg = cfg.pressure
+    if not isinstance(ctx, LocalCtx) and pcfg.solver == "mgpcg":
+        pcfg = dataclasses.replace(pcfg, solver="pcg", maxiter=max(pcfg.maxiter, 400))
 
     for _outer in range(cfg.n_outer):
-        up = pad_vector(u, bcs.u)
+        up = ctx.pad_v(u, bcs.u)
         conv = st.div_phi_vector_padded(phi_alpha, up, grid, cfg.convection_scheme)
         visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
 
@@ -95,33 +101,38 @@ def pimple_step(
         H = alpha * fs.u_old / dt - conv + visc
         rAU = 1.0 / A
         HbyA = rAU[None] * H
-        rAU_f = st.face_interp(rAU, _NEU, grid)                 # rAUcf ("Dp")
+        rAU_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))  # rAUcf ("Dp")
 
         # phicForces (UcEqn.H:17-20): body-force face flux
-        force_flux = st.flux(rAU[None] * fs.u_source, _NEU, grid)
+        force_flux = st.flux_padded(ctx.pad_v(rAU[None] * fs.u_source, _NEU), grid)
         phic_forces = tuple(
             force_flux[a] + rAU_f[a] * g[a] for a in range(3)
         )
 
         if cfg.momentum_predictor:
-            snp = st.face_grad(p, bcs.p, grid)
+            snp = st.face_grad_padded(ctx.pad_s(p, bcs.p), grid)
             u = HbyA + rAU[None] * st.reconstruct(
                 tuple(phic_forces[a] / rAU_f[a] - snp[a] for a in range(3))
             )
 
         for _corr in range(cfg.n_correctors):
-            phiHbyA = st.flux(HbyA, bcs.u, grid)
+            phiHbyA = st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid)
             phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))
+            # prescribe wall fluxes (constrainHbyA + fixedFluxPressure role)
+            phiHbyA = st.constrain_flux(phiHbyA, bcs.u, ctx)
 
             gamma_p = tuple(alpha_f[a] * rAU_f[a] for a in range(3))
             rhs = ddt_alpha + st.div_flux(
                 tuple(alpha_f[a] * phiHbyA[a] for a in range(3)), grid
             )
-            res = pr.solve_pressure(gamma_p, rhs, p, grid, bcs.p, cfg.pressure)
+            res = pr.solve_pressure(
+                gamma_p, rhs, p, grid, bcs.p, pcfg,
+                pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
+            )
             p = res.x
             info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
 
-            snp = st.face_grad(p, bcs.p, grid)
+            snp = st.face_grad_padded(ctx.pad_s(p, bcs.p), grid)
             # pEqn.flux()/alphacf = rAU_f * snGrad(p)
             pflux_over_alpha = tuple(rAU_f[a] * snp[a] for a in range(3))
             phi = tuple(phiHbyA[a] - pflux_over_alpha[a] for a in range(3))

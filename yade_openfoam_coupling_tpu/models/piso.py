@@ -84,6 +84,9 @@ class PressureSolveInfo(NamedTuple):
     final_residual: jnp.ndarray
 
 
+_NEU = FieldBC.uniform("neumann")
+
+
 def momentum_AH(
     fs: FluidState,
     grid: Grid,
@@ -93,19 +96,22 @@ def momentum_AH(
     cfg: PISOConfig,
     u_latest: Optional[jnp.ndarray] = None,
     g: Optional[jnp.ndarray] = None,
+    ctx=None,
 ):
     """A (diagonal, scalar field) and H (explicit operator value) of the
     momentum equation ddt(U) + div(phi,U) - lap(nu,U) == uSource
     (`icoFoamYade.C:79-85`), with drag folded implicitly via
     A -= uSourceDrag (the `fvm::Sp(uSourceDrag, Uc)` trick of `UcEqn.H:9`
     also applies in 2-way mode where uSourceDrag == 0)."""
+    from ..parallel.ctx import LOCAL
+    ctx = ctx if ctx is not None else LOCAL
     u_expl = fs.u if u_latest is None else u_latest
-    up = pad_vector(u_expl, bcs.u)
+    up = ctx.pad_v(u_expl, bcs.u)
     conv = st.div_phi_vector_padded(fs.phi, up, grid, cfg.convection_scheme)
     if jnp.ndim(nu_eff) == 0:
         diff = nu_eff * st.laplacian_vector_padded(up, grid)
     else:
-        nu_f = st.face_interp(nu_eff, FieldBC.uniform("neumann"), grid)
+        nu_f = st.face_interp_all_padded(ctx.pad_s(nu_eff, _NEU))
         diff = st.laplacian_gamma_vector_padded(nu_f, up, grid)
 
     A = 1.0 / dt - fs.u_source_drag              # (grid,) scalar field
@@ -122,40 +128,57 @@ def piso_step(
     nu: jnp.ndarray | float,
     dt,
     cfg: PISOConfig = PISOConfig(),
+    ctx=None,
 ) -> Tuple[FluidState, PressureSolveInfo]:
     """One PISO time step (the fluid half of the icoFoamYade loop body,
     `icoFoamYade.C:77-140`). Coupling fields in `fs` are inputs; call
     the coupling engine first (as the reference calls `setParticleAction`
-    before the momentum predictor, `icoFoamYade.C:74`)."""
-    A, H = momentum_AH(fs, grid, bcs, nu, dt, cfg)
+    before the momentum predictor, `icoFoamYade.C:74`).
+
+    `ctx` selects single-device BC ghosts (default) or shard halos."""
+    from ..parallel.ctx import LOCAL, LocalCtx
+    ctx = ctx if ctx is not None else LOCAL
+    A, H = momentum_AH(fs, grid, bcs, nu, dt, cfg, ctx=ctx)
     rAU = 1.0 / A
     HbyA = rAU[None] * H
 
     u = fs.u
     if cfg.momentum_predictor:
-        gp = st.grad_scalar(fs.p, bcs.p, grid)
+        gp = st.grad_scalar_padded(ctx.pad_s(fs.p, bcs.p), grid)
         u = HbyA - rAU[None] * gp
 
     p = fs.p
     phi = fs.phi
     info = None
+    pcfg = cfg.pressure
+    if not isinstance(ctx, LocalCtx) and pcfg.solver == "mgpcg":
+        # the MG preconditioner is block-local; under sharding fall back to
+        # globally-reduced Jacobi-PCG (block-local MG preconditioning is a
+        # planned refinement)
+        pcfg = dataclasses.replace(pcfg, solver="pcg", maxiter=max(pcfg.maxiter, 400))
     for _ in range(cfg.n_correctors):
         # recompute H with the latest U (Picard step, plays the role of
         # OpenFOAM's updated UEqn.H() between correctors)
-        A, H = momentum_AH(fs, grid, bcs, nu, dt, cfg, u_latest=u)
+        A, H = momentum_AH(fs, grid, bcs, nu, dt, cfg, u_latest=u, ctx=ctx)
         rAU = 1.0 / A
         HbyA = rAU[None] * H
 
-        phiHbyA = st.flux(HbyA, bcs.u, grid)
-        gamma_f = st.face_interp(rAU, FieldBC.uniform("neumann"), grid)
+        phiHbyA = st.constrain_flux(
+            st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid), bcs.u, ctx
+        )
+        gamma_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))
         rhs = st.div_flux(phiHbyA, grid)
-        res = pr.solve_pressure(gamma_f, rhs, p, grid, bcs.p, cfg.pressure)
+        res = pr.solve_pressure(
+            gamma_f, rhs, p, grid, bcs.p, pcfg,
+            pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
+        )
         p = res.x
         info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
 
-        snp = st.face_grad(p, bcs.p, grid)
+        pp = ctx.pad_s(p, bcs.p)
+        snp = st.face_grad_padded(pp, grid)
         phi = tuple(phiHbyA[a] - gamma_f[a] * snp[a] for a in range(3))
-        gp = st.grad_scalar(p, bcs.p, grid)
+        gp = st.grad_scalar_padded(pp, grid)
         u = HbyA - rAU[None] * gp
 
     new = fs._replace(u=u, p=p, phi=phi)

@@ -53,9 +53,11 @@ class TurbulenceConfig:
     nut_max: float = 1e2
 
 
-def strain_rate_sq(u: jnp.ndarray, bcs: FluidBCs, grid: Grid) -> jnp.ndarray:
+def strain_rate_sq(u: jnp.ndarray, bcs: FluidBCs, grid: Grid, ctx=None) -> jnp.ndarray:
     """2 S:S where S = 0.5 (grad U + grad U^T) — the production kernel."""
-    G = st.grad_vector(u, bcs.u, grid)
+    from ..parallel.ctx import LOCAL
+    ctx = ctx if ctx is not None else LOCAL
+    G = st.grad_vector_padded(ctx.pad_v(u, bcs.u), grid)
     S = 0.5 * (G + jnp.swapaxes(G, 0, 1))
     return 2.0 * jnp.sum(S * S, axis=(0, 1))
 
@@ -73,13 +75,16 @@ def correct(
     nu: float,
     dt,
     cfg: TurbulenceConfig,
+    ctx=None,
 ) -> TurbulenceState:
     """One `continuousPhaseTurbulence->correct()` equivalent
     (`pimpleFoamYade.C:103`)."""
+    from ..parallel.ctx import LOCAL
+    ctx = ctx if ctx is not None else LOCAL
     if cfg.model == "laminar":
-        return turb._replace(nut=jnp.zeros(grid.shape, fs.u.dtype))
+        return turb._replace(nut=jnp.zeros(fs.u.shape[1:], fs.u.dtype))
 
-    S2 = strain_rate_sq(fs.u, bcs, grid)
+    S2 = strain_rate_sq(fs.u, bcs, grid, ctx)
 
     if cfg.model == "Smagorinsky":
         # nut = (Ck^1.5/Ce ~ Cs^2) Delta^2 |S|; using OpenFOAM's
@@ -98,9 +103,9 @@ def correct(
         k = jnp.maximum(turb.k, cfg.k_min)
         nut = turb.nut
         prod = nut * S2
-        kp = pad_scalar(k, _NEU)
+        kp = ctx.pad_s(k, _NEU)
         conv = st.div_phi_scalar_padded(fs.phi, kp, grid, "upwind")
-        gamma = st.face_interp(nu + nut, _NEU, grid)
+        gamma = st.face_interp_all_padded(ctx.pad_s(nu + nut, _NEU))
         diff = st.laplacian_facegamma_padded(gamma, kp, grid)
         # Patankar: sink eps = Ce k^{3/2}/Delta handled semi-implicitly
         sink_coeff = cfg.ce * jnp.sqrt(k) / d
@@ -115,12 +120,12 @@ def correct(
         nut = turb.nut
         prod = nut * S2
 
-        kp = pad_scalar(k, _NEU)
-        ep = pad_scalar(eps, _NEU)
+        kp = ctx.pad_s(k, _NEU)
+        ep = ctx.pad_s(eps, _NEU)
         conv_k = st.div_phi_scalar_padded(fs.phi, kp, grid, "upwind")
         conv_e = st.div_phi_scalar_padded(fs.phi, ep, grid, "upwind")
-        gam_k = st.face_interp(nu + nut / cfg.sigma_k, _NEU, grid)
-        gam_e = st.face_interp(nu + nut / cfg.sigma_eps, _NEU, grid)
+        gam_k = st.face_interp_all_padded(ctx.pad_s(nu + nut / cfg.sigma_k, _NEU))
+        gam_e = st.face_interp_all_padded(ctx.pad_s(nu + nut / cfg.sigma_eps, _NEU))
         diff_k = st.laplacian_facegamma_padded(gam_k, kp, grid)
         diff_e = st.laplacian_facegamma_padded(gam_e, ep, grid)
 

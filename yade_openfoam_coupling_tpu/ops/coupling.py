@@ -147,23 +147,21 @@ class GaussianSupport(NamedTuple):
     valid: jnp.ndarray      # (N, S) bool
 
 
-def gaussian_support(
+def gaussian_cells_raw_weights(
     pos: jnp.ndarray,
     active: jnp.ndarray,
     grid: Grid,
-    periodic: Tuple[bool, bool, bool],
     cfg: CouplingConfig,
-) -> GaussianSupport:
-    """Normalized Gaussian interpolation weights over a fixed stencil.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Geometric half of the Gaussian support: unwrapped stencil cell
+    indices (N,S,3), raw (unnormalized) weights (N,S), and the in-domain
+    mask (N,). Shared by the single-device and sharded plumbing.
 
     Weight formula matches `calcInterpWeightGaussian` (`FoamYade.C:293-316`):
-    w_i = exp(-|x_c - x_p|^2 / (2 sigma^2)), then normalized; the reference's
-    constant prefactor interpRangeCu*sigmaPi (`FoamYade.C:308`) cancels in
-    the normalization and is omitted."""
-    N = pos.shape[0]
+    w_i = exp(-|x_c - x_p|^2 / (2 sigma^2)); the reference's constant
+    prefactor interpRangeCu*sigmaPi (`FoamYade.C:308`) cancels in the
+    normalization and is omitted."""
     offsets = jnp.asarray(_stencil_offsets(cfg.stencil_width), jnp.int32)  # (S,3)
-    S = offsets.shape[0]
-
     base, inside = locate(pos, grid)
     cells = base[:, None, :] + offsets[None, :, :]              # (N,S,3)
 
@@ -176,13 +174,27 @@ def gaussian_support(
     interp_range = INTERP_RANGE_CELLS * h_mean
     sigma = SIGMA_OVER_RANGE * interp_range
     w = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    return cells, w, active & inside
 
-    valid_particle = active & inside
-    flat, ok = _flat_cell_ids(cells, grid, periodic, valid_particle[:, None])
+
+def normalize_weights(w: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
     w = jnp.where(ok, w, 0.0)
     wsum = jnp.sum(w, axis=1, keepdims=True)
-    w = w / jnp.where(wsum > 0.0, wsum, 1.0)
-    return GaussianSupport(flat, w, ok)
+    return w / jnp.where(wsum > 0.0, wsum, 1.0)
+
+
+def gaussian_support(
+    pos: jnp.ndarray,
+    active: jnp.ndarray,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    cfg: CouplingConfig,
+) -> GaussianSupport:
+    """Normalized Gaussian interpolation weights over a fixed stencil
+    (single-device flat ids)."""
+    cells, w, valid_particle = gaussian_cells_raw_weights(pos, active, grid, cfg)
+    flat, ok = _flat_cell_ids(cells, grid, periodic, valid_particle[:, None])
+    return GaussianSupport(flat, normalize_weights(w, ok), ok)
 
 
 # ---------------------------------------------------------------------------
@@ -291,37 +303,68 @@ class FluidAtParticles(NamedTuple):
     curl_u: jnp.ndarray     # (N,3)
 
 
-def gaussian_coupling(
+class SupportOps(NamedTuple):
+    """Scatter/gather plumbing over a particle support — the injection point
+    that lets the identical force physics run single-device (plain
+    segment_sum into the full grid) or per-shard (owner-masked weights,
+    halo-extended scatter with a ppermute reduction — `parallel/sharded.py`)."""
+
+    deposit: "Callable"       # (N,S) values -> scalar grid field
+    deposit_vec: "Callable"   # (N,S,3) values -> (3, grid) field
+    gather: "Callable"        # scalar grid field -> (N,)
+    gather_vec: "Callable"    # (3, grid) field -> (N,3)
+
+
+def local_support_ops(sup: GaussianSupport, grid: Grid) -> SupportOps:
+    return SupportOps(
+        deposit=lambda v: deposit(v, sup, grid),
+        deposit_vec=lambda v: deposit_vec(v, sup, grid),
+        gather=lambda f: gather(f, sup),
+        gather_vec=lambda f: gather_vec(f, sup),
+    )
+
+
+def volume_fraction_fields_ops(
+    pf: ParticleFields, weights: jnp.ndarray, ops: SupportOps,
+    cell_volume: float, cfg: CouplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`setCellVolFraction` (`FoamYade.C:318-328`) through injected ops."""
+    vol = particle_volume(pf.radius)
+    wv = weights * vol[:, None]
+    pvol = ops.deposit(wv)
+    up = ops.deposit_vec(wv[..., None] * pf.vel[:, None, :])
+    alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
+    u_particle = up / cell_volume
+    return alpha, u_particle
+
+
+def gaussian_physics(
     pf: ParticleFields,
     fluid_u: jnp.ndarray,
     grad_p: jnp.ndarray,
     div_tau: jnp.ndarray,
     ddt_u: jnp.ndarray,
     curl_u: jnp.ndarray,
-    grid: Grid,
-    periodic: Tuple[bool, bool, bool],
+    weights: jnp.ndarray,       # (N,S) normalized, zeroed for non-owned
+    found: jnp.ndarray,         # (N,) bool (owner-local under sharding)
+    ops: SupportOps,
+    cell_volume: float,
     nu: float,
     rho_f: float,
-    dt,
     cfg: CouplingConfig,
 ) -> CouplingResult:
-    """Full 4-way Gaussian coupling step (pimpleFoamYade mode).
-
-    Mirrors the Gaussian branch of `setParticleAction` (`FoamYade.C:612-620`):
-    build weights -> volume-fraction deposit -> drag + Archimedes (+ optional
-    added mass / torque) -> source-term deposits.
-    """
-    sup = gaussian_support(pf.pos, pf.active, grid, periodic, cfg)
-    found = jnp.sum(sup.weights, axis=1) > 0.0
-
-    alpha, u_particle = volume_fraction_fields(pf, sup, grid, cfg)
+    """The Gaussian branch of `setParticleAction` (`FoamYade.C:612-620`):
+    volume-fraction deposit -> drag + Archimedes (+ optional added mass /
+    torque) -> source-term deposits. Pure physics; all grid access goes
+    through `ops`."""
+    alpha, u_particle = volume_fraction_fields_ops(pf, weights, ops, cell_volume, cfg)
 
     vol = particle_volume(pf.radius)
     dia = 2.0 * pf.radius
 
     # --- drag (FoamYade.C:354-389) --------------------------------------
-    uf = gather_vec(fluid_u, sup)
-    alpha_f = gather(alpha, sup)
+    uf = ops.gather_vec(fluid_u)
+    alpha_f = ops.gather(alpha)
     alpha_p = jnp.clip(1.0 - alpha_f, 1e-6, 1.0)
     ur = uf - pf.vel
     mag_ur = jnp.linalg.norm(ur, axis=-1)
@@ -332,36 +375,36 @@ def gaussian_coupling(
     # implicit-drag field: uSourceDrag[c] += -coeff * w / rho_f
     # (FoamYade.C:385); the explicit counterpart -coeff*w*uParticle[c]/rho_f
     # (FoamYade.C:386) factors as uSourceDrag * uParticle exactly.
-    u_source_drag = deposit(-(coeff[:, None] / rho_f) * sup.weights, sup, grid)
+    u_source_drag = ops.deposit(-(coeff[:, None] / rho_f) * weights)
     u_source = u_source_drag[None] * u_particle
 
     # --- Archimedes (FoamYade.C:415-435, with the rho_f dimensional fix) --
-    pg = gather_vec(grad_p, sup)
-    dt_tau = gather_vec(div_tau, sup)
+    pg = ops.gather_vec(grad_p)
+    dt_tau = ops.gather_vec(div_tau)
     f_arch = vol[:, None] * rho_f * (-pg + dt_tau)
     f_arch = jnp.where(found[:, None], f_arch, 0.0)
-    ooVrho = 1.0 / (grid.cell_volume * rho_f)
-    u_source = u_source + deposit_vec(
-        (-f_arch[:, None, :] * ooVrho) * sup.weights[..., None], sup, grid
+    ooVrho = 1.0 / (cell_volume * rho_f)
+    u_source = u_source + ops.deposit_vec(
+        (-f_arch[:, None, :] * ooVrho) * weights[..., None]
     )
 
     force = f_drag + f_arch
 
     # --- added mass (hook; FoamYade.C:392-413, off by default) -----------
     if cfg.use_added_mass:
-        ddtu = gather_vec(ddt_u, sup)
+        ddtu = ops.gather_vec(ddt_u)
         # classical form: Cam * rho_f * V_p * Du_f/Dt (particle-acceleration
         # reaction handled on the DEM side via effective mass)
         f_am = cfg.added_mass_coeff * rho_f * vol[:, None] * ddtu
         f_am = jnp.where(found[:, None], f_am, 0.0)
         force = force + f_am
-        u_source = u_source + deposit_vec(
-            (-f_am[:, None, :] * ooVrho) * sup.weights[..., None], sup, grid
+        u_source = u_source + ops.deposit_vec(
+            (-f_am[:, None, :] * ooVrho) * weights[..., None]
         )
 
     # --- torque (FoamYade.C:465-483; classical 1/2 curl) -----------------
     if cfg.use_torque:
-        wf = 0.5 * gather_vec(curl_u, sup)
+        wf = 0.5 * ops.gather_vec(curl_u)
         torque = jnp.pi * (dia ** 3)[:, None] * (wf - pf.angvel) * nu * rho_f
         torque = jnp.where(found[:, None], torque, 0.0)
     else:
@@ -379,14 +422,41 @@ def gaussian_coupling(
     )
 
 
+def gaussian_coupling(
+    pf: ParticleFields,
+    fluid_u: jnp.ndarray,
+    grad_p: jnp.ndarray,
+    div_tau: jnp.ndarray,
+    ddt_u: jnp.ndarray,
+    curl_u: jnp.ndarray,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    nu: float,
+    rho_f: float,
+    dt,
+    cfg: CouplingConfig,
+) -> CouplingResult:
+    """Full 4-way Gaussian coupling step (pimpleFoamYade mode),
+    single-device plumbing."""
+    sup = gaussian_support(pf.pos, pf.active, grid, periodic, cfg)
+    found = jnp.sum(sup.weights, axis=1) > 0.0
+    return gaussian_physics(
+        pf, fluid_u, grad_p, div_tau, ddt_u, curl_u,
+        sup.weights, found, local_support_ops(sup, grid),
+        grid.cell_volume, nu, rho_f, cfg,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Point-force (icoFoamYade) mode
 # ---------------------------------------------------------------------------
 
-def trilinear_weights(pos: jnp.ndarray, grid: Grid, periodic, active) -> GaussianSupport:
-    """8-corner trilinear interpolation support (upgrade over the reference's
-    single-cell `interpolation<vector>::New("cell", U)` at `FoamYade.C:438`,
-    which is piecewise-constant)."""
+def trilinear_cells_raw_weights(
+    pos: jnp.ndarray, active: jnp.ndarray, grid: Grid,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Geometric half of the 8-corner trilinear support (upgrade over the
+    reference's single-cell `interpolation<vector>::New("cell", U)` at
+    `FoamYade.C:438`, which is piecewise-constant)."""
     origin = jnp.asarray(grid.origin, pos.dtype)
     h = jnp.asarray(grid.spacing, pos.dtype)
     # position in "node space" where integer points are cell centers
@@ -401,14 +471,62 @@ def trilinear_weights(pos: jnp.ndarray, grid: Grid, periodic, active) -> Gaussia
     cells = base[:, None, :] + corners[None, :, :]               # (N,8,3)
     cw = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
     w = jnp.prod(cw, axis=-1)                                    # (N,8)
-
     _, inside = locate(pos, grid)
-    valid = (active & inside)[:, None]
-    flat, ok = _flat_cell_ids(cells, grid, periodic, valid)
-    w = jnp.where(ok, w, 0.0)
-    wsum = jnp.sum(w, axis=1, keepdims=True)
-    w = w / jnp.where(wsum > 0.0, wsum, 1.0)
-    return GaussianSupport(flat, w, ok)
+    return cells, w, active & inside
+
+
+def trilinear_weights(pos: jnp.ndarray, grid: Grid, periodic, active) -> GaussianSupport:
+    """Trilinear support with single-device flat ids."""
+    cells, w, valid_particle = trilinear_cells_raw_weights(pos, active, grid)
+    flat, ok = _flat_cell_ids(cells, grid, periodic, valid_particle[:, None])
+    return GaussianSupport(flat, normalize_weights(w, ok), ok)
+
+
+def point_force_physics(
+    pf: ParticleFields,
+    fluid_u: jnp.ndarray,
+    curl_u: jnp.ndarray,
+    weights: jnp.ndarray,
+    found: jnp.ndarray,
+    ops: SupportOps,
+    cell_volume: float,
+    nu: float,
+    rho_f: float,
+    cfg: CouplingConfig,
+) -> CouplingResult:
+    """Two-way Stokes point-force physics (icoFoamYade mode).
+
+    `stokesDragForce` (`FoamYade.C:437-444`): F = 3 pi d mu (u_f - v), the
+    source deposited with weight -F/(V_cell rho_f); `stokesDragTorque`
+    (`FoamYade.C:446-453`) with the classical 1/2-curl rotation rate."""
+    uf = ops.gather_vec(fluid_u)
+    dia = 2.0 * pf.radius
+    coeff = 3.0 * jnp.pi * dia * nu * rho_f
+    force = coeff[:, None] * (uf - pf.vel)
+    force = jnp.where(found[:, None], force, 0.0)
+
+    ooVrho = 1.0 / (cell_volume * rho_f)
+    u_source = ops.deposit_vec(
+        (-force[:, None, :] * ooVrho) * weights[..., None]
+    )
+
+    if cfg.use_torque:
+        wf = 0.5 * ops.gather_vec(curl_u)
+        torque = jnp.pi * (dia ** 3)[:, None] * (wf - pf.angvel) * nu * rho_f
+        torque = jnp.where(found[:, None], torque, 0.0)
+    else:
+        torque = jnp.zeros_like(pf.vel)
+
+    shape = u_source.shape[1:]
+    return CouplingResult(
+        force=force,
+        torque=torque,
+        alpha=jnp.ones(shape, fluid_u.dtype),
+        u_particle=jnp.zeros((3,) + shape, fluid_u.dtype),
+        u_source=u_source,
+        u_source_drag=jnp.zeros(shape, fluid_u.dtype),
+        found=found,
+    )
 
 
 def point_force_coupling(
@@ -421,39 +539,10 @@ def point_force_coupling(
     rho_f: float,
     cfg: CouplingConfig,
 ) -> CouplingResult:
-    """Two-way Stokes point-force coupling (icoFoamYade mode).
-
-    `stokesDragForce` (`FoamYade.C:437-444`): F = 3 pi d mu (u_f - v), the
-    source deposited with weight -F/(V_cell rho_f); `stokesDragTorque`
-    (`FoamYade.C:446-453`) with the classical 1/2-curl rotation rate."""
+    """Point-force coupling, single-device plumbing."""
     sup = trilinear_weights(pf.pos, grid, periodic, pf.active)
     found = jnp.sum(sup.weights, axis=1) > 0.0
-
-    uf = gather_vec(fluid_u, sup)
-    dia = 2.0 * pf.radius
-    coeff = 3.0 * jnp.pi * dia * nu * rho_f
-    force = coeff[:, None] * (uf - pf.vel)
-    force = jnp.where(found[:, None], force, 0.0)
-
-    ooVrho = 1.0 / (grid.cell_volume * rho_f)
-    u_source = deposit_vec(
-        (-force[:, None, :] * ooVrho) * sup.weights[..., None], sup, grid
-    )
-
-    if cfg.use_torque:
-        wf = 0.5 * gather_vec(curl_u, sup)
-        torque = jnp.pi * (dia ** 3)[:, None] * (wf - pf.angvel) * nu * rho_f
-        torque = jnp.where(found[:, None], torque, 0.0)
-    else:
-        torque = jnp.zeros_like(pf.vel)
-
-    shape = grid.shape
-    return CouplingResult(
-        force=force,
-        torque=torque,
-        alpha=jnp.ones(shape, fluid_u.dtype),
-        u_particle=jnp.zeros((3,) + shape, fluid_u.dtype),
-        u_source=u_source,
-        u_source_drag=jnp.zeros(shape, fluid_u.dtype),
-        found=found,
+    return point_force_physics(
+        pf, fluid_u, curl_u, sup.weights, found,
+        local_support_ops(sup, grid), grid.cell_volume, nu, rho_f, cfg,
     )

@@ -270,6 +270,41 @@ def reconstruct(face_vals: Flux) -> jnp.ndarray:
     return jnp.stack(comps)
 
 
+def constrain_flux(phi: Flux, u_bc: FieldBC, ctx=None) -> Flux:
+    """Pin boundary-face fluxes to the BC normal velocity at Dirichlet-u
+    faces — the TPU-native equivalent of OpenFOAM's `constrainHbyA` +
+    `fixedFluxPressure` combination (`icoFoamYade.C:100,111`,
+    `pimpleFoamYade/pEqn.H:2,24`): a no-slip/moving wall prescribes the
+    total face flux, and the pressure equation must see exactly that flux
+    or mass leaks through walls whenever body forces act.
+
+    Under sharding only the shards holding a global edge apply the pin."""
+    from ..ops.grid import DIRICHLET
+    out = list(phi)
+    for a in range(3):
+        lo, hi = u_bc.faces[a]
+        f = out[a]
+        n = f.shape[a]
+        if lo.kind == DIRICHLET:
+            plane = jnp.full_like(jax.lax.slice_in_dim(f, 0, 1, axis=a), lo.component(a))
+            if ctx is not None and ctx.mesh_axes[a] is not None:
+                at_edge = ctx.shard_index(a) == 0
+                plane = jnp.where(at_edge, plane, jax.lax.slice_in_dim(f, 0, 1, axis=a))
+            f = jax.lax.concatenate(
+                [plane, jax.lax.slice_in_dim(f, 1, n, axis=a)], dimension=a
+            )
+        if hi.kind == DIRICHLET:
+            plane = jnp.full_like(jax.lax.slice_in_dim(f, n - 1, n, axis=a), hi.component(a))
+            if ctx is not None and ctx.mesh_axes[a] is not None:
+                at_edge = ctx.shard_index(a) == ctx.shard_count(a) - 1
+                plane = jnp.where(at_edge, plane, jax.lax.slice_in_dim(f, n - 1, n, axis=a))
+            f = jax.lax.concatenate(
+                [jax.lax.slice_in_dim(f, 0, n - 1, axis=a), plane], dimension=a
+            )
+        out[a] = f
+    return tuple(out)
+
+
 def surface_sum_abs_over_V(phi: Flux, grid: Grid) -> jnp.ndarray:
     """``fvc::surfaceSum(mag(phi))/V`` per cell — the Courant-number kernel
     (`/root/reference/pimpleFoamYade/CourantNo.H:38-42`). With `phi` holding

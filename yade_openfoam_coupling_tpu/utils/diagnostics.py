@@ -34,12 +34,15 @@ class TimeControls:
     min_dt: float = 1e-12
 
 
-def courant(phi, grid: Grid, dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def courant(phi, grid: Grid, dt, ctx=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(mean, max) Courant number — `CourantNo.H:42-45`:
-    Co = 0.5 * sum_f |phi_f| A / V * dt."""
+    Co = 0.5 * sum_f |phi_f| A / V * dt. The reductions are the analog of
+    OpenFOAM's gMax/gSum (global under sharding via psum/pmax)."""
     s = st.surface_sum_abs_over_V(phi, grid)
     co = 0.5 * s * dt
-    return jnp.mean(co), jnp.max(co)
+    if ctx is None:
+        return jnp.mean(co), jnp.max(co)
+    return ctx.mean_of_sum(jnp.sum(co), co.size), ctx.max(jnp.max(co))
 
 
 def new_dt(co_max, dt, tc: TimeControls):
@@ -53,14 +56,19 @@ def new_dt(co_max, dt, tc: TimeControls):
     return jnp.clip(dt * factor, tc.min_dt, tc.max_dt)
 
 
-def continuity_errors(phi, alpha, alpha_old, grid: Grid, dt):
+def continuity_errors(phi, alpha, alpha_old, grid: Grid, dt, ctx=None):
     """(local, global) continuity error — the alpha-aware check of
     `continuityErrs.H:33-40`: contErr = ddt(alpha) + div(alpha_f phi)."""
     from ..ops.grid import FieldBC
-    alpha_f = st.face_interp(alpha, FieldBC.uniform("neumann"), grid)
+    if ctx is None:
+        from ..parallel.ctx import LOCAL
+        ctx = LOCAL
+    alpha_f = st.face_interp_all_padded(
+        ctx.pad_s(alpha, FieldBC.uniform("neumann"))
+    )
     cont = (alpha - alpha_old) / dt + st.div_flux(
         tuple(alpha_f[a] * phi[a] for a in range(3)), grid
     )
-    local = jnp.mean(jnp.abs(cont)) * dt
-    glob = jnp.mean(cont) * dt
+    local = ctx.mean_of_sum(jnp.sum(jnp.abs(cont)), cont.size) * dt
+    glob = ctx.mean_of_sum(jnp.sum(cont), cont.size) * dt
     return local, glob
