@@ -1,0 +1,106 @@
+"""Headline benchmark: coupled steps/sec, 100k 4-way particles on a 128^3 grid.
+
+Tracked metric from BASELINE.json ("coupled steps/sec at 100k particles on
+128^3 grid"). The reference publishes no numbers (BASELINE.md), so
+`vs_baseline` reports progress against the north-star target rate of
+50 coupled steps/sec (the 1M-particle/256^3/v5e-8 goal, applied to this
+single-chip tracked config): vs_baseline = steps_per_sec / 50.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+Usage: python bench.py [--small] (small = 64^3 / 10k for quick checks)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state,
+        make_particle_state,
+        make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.pimple import PIMPLEConfig
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.models.turbulence import TurbulenceConfig
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+    from yade_openfoam_coupling_tpu.ops import dem
+    from yade_openfoam_coupling_tpu.ops import pressure as pr
+    from yade_openfoam_coupling_tpu.ops.grid import Grid
+
+    nx = 64 if small else 128
+    n_particles = 10_000 if small else 100_000
+    length = 1e-3 * nx           # h = 1 mm
+    radius = 4e-4                # d = 0.8 mm
+
+    grid = Grid.cube(nx, length)
+    cfg = cd.CaseConfig(
+        grid=grid,
+        bcs=FluidBCs.channel_z(),
+        transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
+        solver="pimple",
+        coupling=cp.CouplingConfig(gaussian=True),
+        dem=dem.DEMConfig(
+            params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+            gravity=(0.0, 0.0, -9.81),
+            rho_f=1000.0,
+            periodic=(True, True, False),
+            wall_axes=(False, False, True),
+            neighbor="cells",
+            cell_capacity=8,
+        ),
+        pimple=PIMPLEConfig(
+            n_outer=1, n_correctors=1,
+            pressure=pr.PressureSolverConfig(solver="mgpcg", tol=1e-5, maxiter=40),
+        ),
+        turbulence=TurbulenceConfig(model="kEqn"),
+        gravity_fluid=(0.0, 0.0, -9.81),
+        n_dem_substeps=4,
+        r_max=radius,
+    )
+
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(0.1 * length, 0.9 * length, (n_particles, 3))
+    state = cd.initialize_state(
+        make_fluid_state(grid),
+        make_particle_state(pos=pos, radius=radius),
+        make_turbulence_state(grid, k0=1e-6),
+        cfg,
+        dt=5e-5,
+    )
+
+    n_steps = 10
+    run = cd.make_scan_fn(cfg, n_steps)
+
+    # compile + warm up
+    state, diags = run(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        state, diags = run(state)
+    jax.block_until_ready(state)
+    dt_wall = (time.perf_counter() - t0) / (reps * n_steps)
+
+    steps_per_sec = 1.0 / dt_wall
+    print(json.dumps({
+        "metric": f"coupled steps/sec, {n_particles} 4-way particles, {nx}^3 grid, 1 chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / 50.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

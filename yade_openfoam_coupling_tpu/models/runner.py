@@ -1,0 +1,67 @@
+"""Host-side run loop: the equivalent of the two solver `main`s.
+
+The reference's outer loop (`while runTime.loop()` / `while runTime.run()`,
+`icoFoamYade.C:65` / `pimpleFoamYade.C:60`) interleaves compute with I/O each
+step. Here the hot loop is a jitted `lax.scan` over `chunk` coupled steps
+with zero host round-trips; the host only wakes up between chunks for
+logging, time-directory output (`runTime.write()` parity), and full-state
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import checkpoint as ckpt
+from ..utils.config import RunControls
+from ..utils.logging import RunLogger
+from .coupled import CaseConfig, coupled_step, initialize_state, make_scan_fn
+from .fields import SimState
+
+
+@dataclasses.dataclass
+class RunResult:
+    state: SimState
+    steps: int
+    wrote: list
+
+
+def run(
+    cfg: CaseConfig,
+    state: SimState,
+    controls: RunControls,
+    *,
+    chunk: int = 10,
+    case_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    logger: Optional[RunLogger] = None,
+    max_steps: Optional[int] = None,
+) -> RunResult:
+    """Advance until `controls.end_time` (or max_steps)."""
+    logger = logger or RunLogger(every=chunk)
+    scan = make_scan_fn(cfg, chunk)
+    wrote = []
+    next_write = float(state.t) + controls.write_interval
+    steps = 0
+
+    while float(state.t) < controls.end_time:
+        if max_steps is not None and steps >= max_steps:
+            break
+        state, diags = scan(state)
+        steps += chunk
+        last = jax.tree.map(lambda x: x[-1], diags)
+        logger.log_step(state, last)
+
+        if case_dir is not None and float(state.t) >= next_write:
+            wrote.append(ckpt.write_time_dir(case_dir, state))
+            next_write += controls.write_interval
+        if checkpoint_dir is not None and float(state.t) >= next_write:
+            ckpt.save(checkpoint_dir, state)
+
+    if checkpoint_dir is not None:
+        ckpt.save(checkpoint_dir, state)
+    return RunResult(state=state, steps=steps, wrote=wrote)

@@ -307,12 +307,52 @@ class SupportOps(NamedTuple):
     """Scatter/gather plumbing over a particle support — the injection point
     that lets the identical force physics run single-device (plain
     segment_sum into the full grid) or per-shard (owner-masked weights,
-    halo-extended scatter with a ppermute reduction — `parallel/sharded.py`)."""
+    halo-extended scatter with a ppermute reduction — `parallel/sharded.py`).
 
-    deposit: "Callable"       # (N,S) values -> scalar grid field
-    deposit_vec: "Callable"   # (N,S,3) values -> (3, grid) field
-    gather: "Callable"        # scalar grid field -> (N,)
-    gather_vec: "Callable"    # (3, grid) field -> (N,3)
+    TPU cost model (measured on v5e): gathers/scatters pay ~7 ns per index
+    ROW while payload channels are nearly free, so the batched entry points
+    are the hot path — `gather_stack` fetches every input channel with one
+    row-gather and `deposit_stack` lands every output channel with one
+    payload segment_sum. The per-field forms remain for tests/clarity."""
+
+    deposit: "Callable"        # (N,S) values -> scalar grid field
+    deposit_vec: "Callable"    # (N,S,3) values -> (3, grid) field
+    gather: "Callable"         # scalar grid field -> (N,)
+    gather_vec: "Callable"     # (3, grid) field -> (N,3)
+    deposit_stack: "Callable"  # (N,S,C) values -> (C, grid) fields
+    gather_stack: "Callable"   # (C, grid) fields -> (N,C)
+
+
+def _stack_channels(fields) -> jnp.ndarray:
+    """List of scalar (grid,) / vector (3,grid) fields -> (C, grid)."""
+    parts = []
+    for f in fields:
+        if f.ndim == 4:
+            parts.append(f)
+        else:
+            parts.append(f[None])
+    return jnp.concatenate(parts, axis=0)
+
+
+def deposit_stack(values: jnp.ndarray, sup: GaussianSupport, grid: Grid) -> jnp.ndarray:
+    """(N,S,C) -> (C,) + grid.shape via ONE payload segment_sum."""
+    ncells = grid.ncells
+    C = values.shape[-1]
+    flat = jax.ops.segment_sum(
+        values.reshape(-1, C), sup.flat_ids.reshape(-1), num_segments=ncells + 1
+    )
+    return jnp.moveaxis(flat[:ncells].reshape(grid.shape + (C,)), -1, 0)
+
+
+def gather_stack(fields: jnp.ndarray, sup: GaussianSupport) -> jnp.ndarray:
+    """(C, grid) -> (N, C) weighted gather via ONE row-gather: the operand
+    is reshaped to (ncells, C) so every stencil visit fetches all channels
+    in one indexed row."""
+    C = fields.shape[0]
+    tbl = fields.reshape(C, -1).T                                  # (ncells, C)
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, C), tbl.dtype)])     # scrap row
+    vals = tbl[sup.flat_ids]                                       # (N,S,C)
+    return jnp.sum(vals * sup.weights[..., None], axis=1)
 
 
 def local_support_ops(sup: GaussianSupport, grid: Grid) -> SupportOps:
@@ -321,6 +361,8 @@ def local_support_ops(sup: GaussianSupport, grid: Grid) -> SupportOps:
         deposit_vec=lambda v: deposit_vec(v, sup, grid),
         gather=lambda f: gather(f, sup),
         gather_vec=lambda f: gather_vec(f, sup),
+        deposit_stack=lambda v: deposit_stack(v, sup, grid),
+        gather_stack=lambda fs: gather_stack(_stack_channels(fs), sup),
     )
 
 
@@ -356,15 +398,32 @@ def gaussian_physics(
     """The Gaussian branch of `setParticleAction` (`FoamYade.C:612-620`):
     volume-fraction deposit -> drag + Archimedes (+ optional added mass /
     torque) -> source-term deposits. Pure physics; all grid access goes
-    through `ops`."""
-    alpha, u_particle = volume_fraction_fields_ops(pf, weights, ops, cell_volume, cfg)
-
+    through `ops`, batched into exactly 2 row-gathers and 2 payload
+    scatters per exchange (the TPU gather row cost dominates otherwise)."""
     vol = particle_volume(pf.radius)
     dia = 2.0 * pf.radius
 
+    # --- batched input gather: u(3), grad p(3), div tau(3), curl(3),
+    #     [ddtU(3)] in ONE row-gather ------------------------------------
+    in_fields = [fluid_u, grad_p, div_tau, curl_u]
+    if cfg.use_added_mass:
+        in_fields.append(ddt_u)
+    g = ops.gather_stack(in_fields)                              # (N, C)
+    uf, pg, dt_tau, curl_p = g[:, 0:3], g[:, 3:6], g[:, 6:9], g[:, 9:12]
+
+    # --- stage-1 deposit: particle volume (1) + momentum (3), ONE scatter
+    #     (setCellVolFraction, FoamYade.C:318-328) ------------------------
+    wv = weights * vol[:, None]                                  # (N,S)
+    dep1 = jnp.concatenate(
+        [wv[..., None], wv[..., None] * pf.vel[:, None, :]], axis=-1
+    )
+    out1 = ops.deposit_stack(dep1)                               # (4, grid)
+    pvol, up = out1[0], out1[1:4]
+    alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
+    u_particle = up / cell_volume
+
     # --- drag (FoamYade.C:354-389) --------------------------------------
-    uf = ops.gather_vec(fluid_u)
-    alpha_f = ops.gather(alpha)
+    alpha_f = ops.gather_stack([alpha])[:, 0]
     alpha_p = jnp.clip(1.0 - alpha_f, 1e-6, 1.0)
     ur = uf - pf.vel
     mag_ur = jnp.linalg.norm(ur, axis=-1)
@@ -372,39 +431,41 @@ def gaussian_physics(
     coeff = jnp.where(found, coeff, 0.0)
     f_drag = (vol * coeff / alpha_p)[:, None] * ur              # FoamYade.C:381
 
-    # implicit-drag field: uSourceDrag[c] += -coeff * w / rho_f
-    # (FoamYade.C:385); the explicit counterpart -coeff*w*uParticle[c]/rho_f
-    # (FoamYade.C:386) factors as uSourceDrag * uParticle exactly.
-    u_source_drag = ops.deposit(-(coeff[:, None] / rho_f) * weights)
-    u_source = u_source_drag[None] * u_particle
-
     # --- Archimedes (FoamYade.C:415-435, with the rho_f dimensional fix) --
-    pg = ops.gather_vec(grad_p)
-    dt_tau = ops.gather_vec(div_tau)
     f_arch = vol[:, None] * rho_f * (-pg + dt_tau)
     f_arch = jnp.where(found[:, None], f_arch, 0.0)
     ooVrho = 1.0 / (cell_volume * rho_f)
-    u_source = u_source + ops.deposit_vec(
-        (-f_arch[:, None, :] * ooVrho) * weights[..., None]
-    )
-
     force = f_drag + f_arch
 
-    # --- added mass (hook; FoamYade.C:392-413, off by default) -----------
     if cfg.use_added_mass:
-        ddtu = ops.gather_vec(ddt_u)
+        ddtu = g[:, 12:15]
         # classical form: Cam * rho_f * V_p * Du_f/Dt (particle-acceleration
         # reaction handled on the DEM side via effective mass)
         f_am = cfg.added_mass_coeff * rho_f * vol[:, None] * ddtu
         f_am = jnp.where(found[:, None], f_am, 0.0)
         force = force + f_am
-        u_source = u_source + ops.deposit_vec(
-            (-f_am[:, None, :] * ooVrho) * weights[..., None]
-        )
+    else:
+        f_am = None
+
+    # --- stage-2 deposit: implicit drag (1) + explicit source (3), ONE
+    #     scatter. uSourceDrag[c] += -coeff*w/rho_f (FoamYade.C:385); the
+    #     explicit drag counterpart -coeff*w*uParticle[c]/rho_f
+    #     (FoamYade.C:386) factors as uSourceDrag * uParticle exactly. ----
+    src_part = -f_arch if f_am is None else -(f_arch + f_am)
+    dep2 = jnp.concatenate(
+        [
+            (-(coeff / rho_f))[:, None, None] * weights[..., None],
+            (src_part[:, None, :] * ooVrho) * weights[..., None],
+        ],
+        axis=-1,
+    )
+    out2 = ops.deposit_stack(dep2)
+    u_source_drag = out2[0]
+    u_source = u_source_drag[None] * u_particle + out2[1:4]
 
     # --- torque (FoamYade.C:465-483; classical 1/2 curl) -----------------
     if cfg.use_torque:
-        wf = 0.5 * ops.gather_vec(curl_u)
+        wf = 0.5 * curl_p
         torque = jnp.pi * (dia ** 3)[:, None] * (wf - pf.angvel) * nu * rho_f
         torque = jnp.where(found[:, None], torque, 0.0)
     else:
@@ -499,19 +560,20 @@ def point_force_physics(
     `stokesDragForce` (`FoamYade.C:437-444`): F = 3 pi d mu (u_f - v), the
     source deposited with weight -F/(V_cell rho_f); `stokesDragTorque`
     (`FoamYade.C:446-453`) with the classical 1/2-curl rotation rate."""
-    uf = ops.gather_vec(fluid_u)
+    g = ops.gather_stack([fluid_u, curl_u])                     # one row-gather
+    uf, curl_p = g[:, 0:3], g[:, 3:6]
     dia = 2.0 * pf.radius
     coeff = 3.0 * jnp.pi * dia * nu * rho_f
     force = coeff[:, None] * (uf - pf.vel)
     force = jnp.where(found[:, None], force, 0.0)
 
     ooVrho = 1.0 / (cell_volume * rho_f)
-    u_source = ops.deposit_vec(
+    u_source = ops.deposit_stack(
         (-force[:, None, :] * ooVrho) * weights[..., None]
     )
 
     if cfg.use_torque:
-        wf = 0.5 * ops.gather_vec(curl_u)
+        wf = 0.5 * curl_p
         torque = jnp.pi * (dia ** 3)[:, None] * (wf - pf.angvel) * nu * rho_f
         torque = jnp.where(found[:, None], torque, 0.0)
     else:

@@ -60,6 +60,10 @@ class DEMConfig:
     # neighbor search: 'allpairs' (exact, O(N^2), fine to ~4k) or 'cells'
     neighbor: str = "allpairs"
     cell_capacity: int = 8       # max particles per hash cell ('cells' mode)
+    # contact evaluation cadence: 'substep' (every DEM substep — Yade's
+    # behavior) or 'step' (once per fluid step, force held constant over the
+    # substeps — valid for soft/rare contacts, large speedup at scale)
+    contact_mode: str = "substep"
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
@@ -231,27 +235,31 @@ def cell_list_contact_forces(
     cand = table[nb_cell]                            # (N, 27, cap)
     cand = cand.reshape(N, 27 * cap)
 
-    # pad arrays with one ghost slot (index N)
-    def padded(x, fill=0.0):
-        return jnp.concatenate([x, jnp.full((1,) + x.shape[1:], fill, x.dtype)])
-
-    pos_p, vel_p, ang_p = padded(pos), padded(vel), padded(angvel)
-    rad_p = padded(radius)
-    act_p = jnp.concatenate([active, jnp.zeros((1,), bool)])
+    # Pack all per-particle data into one (N+1, 11) table so the candidate
+    # fetch is ONE row-gather (TPU gathers pay per index row; payload
+    # channels are nearly free): [pos(3) vel(3) angvel(3) radius active].
     m = particle_mass(radius, p.rho_p)
-    m_p = padded(m, 1.0)
+    data = jnp.concatenate(
+        [pos, vel, angvel, radius[:, None], active.astype(pos.dtype)[:, None]],
+        axis=-1,
+    )
+    data = jnp.concatenate([data, jnp.zeros((1, 11), data.dtype)])
+    dj = data[cand]                                  # (N, 27*cap, 11)
+    pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
+    rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
+    m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
 
     i_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
-    valid = act_p[cand] & active[:, None] & (cand != i_idx)
+    valid = act_j & active[:, None] & (cand != i_idx)
 
-    dx = pos[:, None, :] - pos_p[cand]
+    dx = pos[:, None, :] - pos_j
     dx = _min_image(dx, grid, cfg.periodic)
     f, t = _pair_force(
         dx,
-        vel[:, None, :], vel_p[cand],
-        angvel[:, None, :], ang_p[cand],
-        radius[:, None], rad_p[cand],
-        m[:, None], m_p[cand],
+        vel[:, None, :], vel_j,
+        angvel[:, None, :], ang_j,
+        radius[:, None], rad_j,
+        m[:, None], m_j,
         p, valid,
     )
     return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
@@ -338,11 +346,19 @@ def dem_substeps(
     inv_m = jnp.where(active, 1.0 / m, 0.0)[:, None]
     inv_I = jnp.where(active, 1.0 / inertia, 0.0)[:, None]
 
-    def accel(pos, vel, angvel):
-        fc, tc = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
-        f = fc + f_grav + hydro.force
-        t = tc + hydro.torque
-        return f * inv_m, t * inv_I
+    if cfg.contact_mode == "step":
+        fc0, tc0 = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
+
+        def accel(pos, vel, angvel):
+            f = fc0 + f_grav + hydro.force
+            t = tc0 + hydro.torque
+            return f * inv_m, t * inv_I
+    else:
+        def accel(pos, vel, angvel):
+            fc, tc = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
+            f = fc + f_grav + hydro.force
+            t = tc + hydro.torque
+            return f * inv_m, t * inv_I
 
     def body(state, _):
         pos, vel, angvel = state

@@ -176,23 +176,51 @@ def _sharded_support_ops(
         interior = interior.at[-1].add(from_right[0])
         return interior
 
-    def dep(values: jnp.ndarray) -> jnp.ndarray:
+    def dep_stack(values: jnp.ndarray) -> jnp.ndarray:
+        """(N,S,C) -> (C, n_loc, ny, nz) via ONE payload segment_sum on the
+        halo-extended slab + ring halo reduction."""
+        C = values.shape[-1]
         flat = jax.ops.segment_sum(
-            values.reshape(-1), dep_ids.reshape(-1), num_segments=ncell_ext + 1
-        )[:ncell_ext].reshape(n_loc + 2, ny, nz)
-        return _halo_reduce(flat)
+            values.reshape(-1, C), dep_ids.reshape(-1), num_segments=ncell_ext + 1
+        )[:ncell_ext].reshape(n_loc + 2, ny, nz, C)
+        ext = jnp.moveaxis(flat, -1, 0)                  # (C, n_loc+2, ny, nz)
+        n_sh = lax.axis_size(AXIS)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        from_left = lax.ppermute(ext[:, -1:], AXIS, fwd)
+        from_right = lax.ppermute(ext[:, :1], AXIS, bwd)
+        interior = ext[:, 1:-1]
+        interior = interior.at[:, 0].add(from_left[:, 0])
+        interior = interior.at[:, -1].add(from_right[:, 0])
+        return interior
+
+    def dep(values: jnp.ndarray) -> jnp.ndarray:
+        return dep_stack(values[..., None])[0]
 
     def dep_vec(values: jnp.ndarray) -> jnp.ndarray:
-        return jnp.stack([dep(values[..., c]) for c in range(3)])
+        return dep_stack(values)
+
+    def gat_stack(fields) -> jnp.ndarray:
+        """List of local scalar/vector fields -> (N, C) via ONE row-gather
+        of the stacked, halo-padded slab."""
+        parts = []
+        for f in fields:
+            comps = f if f.ndim == 4 else f[None]
+            for c in range(comps.shape[0]):
+                parts.append(ctx.pad_s(comps[c], gbc))
+        fp = jnp.stack(parts)                            # (C, n_loc+2, ny+2, nz+2)
+        C = fp.shape[0]
+        tbl = fp.reshape(C, -1).T                        # (npad, C)
+        vals = tbl[gat_ids]                              # (N,S,C)
+        return jnp.sum(vals * w[..., None], axis=1)
 
     def gat(field_local: jnp.ndarray) -> jnp.ndarray:
-        fp = ctx.pad_s(field_local, gbc).reshape(-1)
-        return jnp.sum(fp[gat_ids] * w, axis=1)
+        return gat_stack([field_local])[:, 0]
 
     def gat_vec(field_local: jnp.ndarray) -> jnp.ndarray:
-        return jnp.stack([gat(field_local[c]) for c in range(3)], axis=-1)
+        return gat_stack([field_local])
 
-    return cp.SupportOps(dep, dep_vec, gat, gat_vec), w
+    return cp.SupportOps(dep, dep_vec, gat, gat_vec, dep_stack, gat_stack), w
 
 
 def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):

@@ -1,0 +1,3 @@
+"""Config, checkpointing, diagnostics, logging, profiling."""
+
+from . import checkpoint, diagnostics, foamdict, logging, profiling  # noqa: F401
