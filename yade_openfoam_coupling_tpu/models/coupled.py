@@ -119,6 +119,7 @@ def exchange(
         return cp.gaussian_coupling(
             pf, fs.u, grad_p, div_tau, ddt_u, curl_u,
             grid, periodic, tp.nu, tp.rho_f, dt, cfg,
+            prev_alpha=fs.alpha,
         )
     return cp.point_force_coupling(
         pf, fs.u, curl_u, grid, periodic, tp.nu, tp.rho_f, cfg,

@@ -131,6 +131,8 @@ def _sharded_support_ops(
     cells: jnp.ndarray,        # (N,S,3) unwrapped global cell indices
     weights: jnp.ndarray,      # (N,S) normalized, owner-masked
     owner: jnp.ndarray,        # (N,) bool
+    base: jnp.ndarray,         # (N,3) anchor cell (global indices)
+    offsets,                   # (S,3) static numpy stencil offsets
     grid: Grid,
     bcs,
     ctx: ShardCtx,
@@ -176,14 +178,35 @@ def _sharded_support_ops(
         interior = interior.at[-1].add(from_right[0])
         return interior
 
+    # Anchor slot on the LOCAL slab, biased by +1 so the trilinear anchor
+    # (which may sit one cell left of the slab for an owned particle) fits:
+    # lx2 = anchor_x - start + 1 in [0, n_loc]. The buffer plane j
+    # distributes to extended-slab plane j + dx. y/z wrapped — masked
+    # contributions carry zero values, so wrap placement is harmless.
+    base_lx2 = jnp.clip(base[:, 0] - start + 1, 0, n_loc)
+    base_wy = jnp.mod(base[:, 1], ny)
+    base_wz = jnp.mod(base[:, 2], nz)
+    nslab = (n_loc + 1) * ny * nz
+    base_loc = base_lx2 * (ny * nz) + base_wy * nz + base_wz
+    base_loc = jnp.where(owner, base_loc, nslab)
+
     def dep_stack(values: jnp.ndarray) -> jnp.ndarray:
-        """(N,S,C) -> (C, n_loc, ny, nz) via ONE payload segment_sum on the
-        halo-extended slab + ring halo reduction."""
-        C = values.shape[-1]
-        flat = jax.ops.segment_sum(
-            values.reshape(-1, C), dep_ids.reshape(-1), num_segments=ncell_ext + 1
-        )[:ncell_ext].reshape(n_loc + 2, ny, nz, C)
-        ext = jnp.moveaxis(flat, -1, 0)                  # (C, n_loc+2, ny, nz)
+        """(N,S,C) -> (C, n_loc, ny, nz): ONE N-row scatter of all (S*C)
+        channels onto the anchor slot, static roll/slice distribution into
+        the halo-extended slab, ring halo reduction."""
+        N, S, C = values.shape
+        buf = jax.ops.segment_sum(
+            values.reshape(N, S * C), base_loc, num_segments=nslab + 1
+        )[:nslab].reshape(n_loc + 1, ny, nz, S, C)
+        ext = jnp.zeros((n_loc + 2, ny, nz, C), values.dtype)
+        for o in range(S):
+            dx, dy, dz = (int(v) for v in offsets[o])
+            plane = jnp.roll(buf[..., o, :], (dy, dz), axis=(1, 2))
+            # buffer plane j lands on extended plane j+dx; clip to range
+            j0 = max(0, -dx)
+            j1 = min(n_loc + 1, n_loc + 2 - dx)
+            ext = ext.at[j0 + dx: j1 + dx].add(plane[j0:j1])
+        ext = jnp.moveaxis(ext, -1, 0)                   # (C, n_loc+2, ny, nz)
         n_sh = lax.axis_size(AXIS)
         fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
         bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
@@ -257,13 +280,29 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         owner = validp & (base[:, 0] >= start) & (base[:, 0] < start + n_loc)
         w_owned = jnp.where(owner[:, None], w_norm, 0.0)
 
-        ops, w = _sharded_support_ops(cells, w_owned, owner, grid, bcs, ctx, n_loc)
+        if ccfg.gaussian:
+            import numpy as _np
+            offsets = cp._stencil_offsets(ccfg.stencil_width)
+            anchor = base
+        else:
+            import numpy as _np
+            offsets = _np.stack(
+                _np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+            ).reshape(-1, 3)
+            origin = jnp.asarray(grid.origin, pf.pos.dtype)
+            h = jnp.asarray(grid.spacing, pf.pos.dtype)
+            anchor = jnp.floor((pf.pos - origin) / h - 0.5).astype(jnp.int32)
+
+        ops, w = _sharded_support_ops(
+            cells, w_owned, owner, anchor, offsets, grid, bcs, ctx, n_loc
+        )
         found_local = owner & (jnp.sum(w, axis=1) > 0.0)
 
         if ccfg.gaussian:
             res = cp.gaussian_physics(
                 pf, fs.u, grad_p, div_tau, ddt_u, curl_u,
                 w, found_local, ops, grid.cell_volume, tp.nu, tp.rho_f, ccfg,
+                prev_alpha=fs.alpha,
             )
         else:
             res = cp.point_force_physics(
