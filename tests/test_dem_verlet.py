@@ -1,0 +1,81 @@
+"""Verlet neighbor-list path: equivalence with all-pairs forces."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yade_openfoam_coupling_tpu.ops import dem
+from yade_openfoam_coupling_tpu.ops.grid import Grid
+
+
+def _params():
+    return dem.ContactParams(kn=1e3, kt_over_kn=0.5, restitution=0.9,
+                             friction=0.3, rho_p=2500.0)
+
+
+@pytest.mark.parametrize("periodic", [(False,) * 3, (True, True, True)])
+def test_neighbor_list_forces_match_allpairs(periodic):
+    rng = np.random.RandomState(7)
+    N = 80
+    grid = Grid.cube(16, 1.0)
+    r = 0.025
+    pos = jnp.asarray(rng.uniform(0.05, 0.95, (N, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    ang = jnp.asarray(rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    rad = jnp.full((N,), r, jnp.float32)
+    act = jnp.ones((N,), bool)
+
+    cfg = dem.DEMConfig(
+        params=_params(), neighbor="cells", cell_capacity=32,
+        max_neighbors=32, periodic=periodic,
+        wall_axes=tuple(not p for p in periodic),
+    )
+    nbr = dem.build_neighbor_list(pos, act, grid, cfg, r)
+    f_n, t_n = dem.neighbor_contact_forces(nbr, pos, vel, ang, rad, act, grid, cfg)
+
+    cfg_a = dem.DEMConfig(params=_params(), neighbor="allpairs",
+                          periodic=periodic,
+                          wall_axes=tuple(not p for p in periodic))
+    f_a, t_a = dem.allpairs_contact_forces(pos, vel, ang, rad, act, grid, cfg_a)
+    np.testing.assert_allclose(np.asarray(f_n), np.asarray(f_a), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_n), np.asarray(t_a), atol=1e-4)
+
+
+def test_neighbor_list_self_excluded_and_padded():
+    grid = Grid.cube(8, 1.0)
+    pos = jnp.asarray([[0.5, 0.5, 0.5], [0.52, 0.5, 0.5], [0.9, 0.9, 0.9]],
+                      jnp.float32)
+    act = jnp.array([True, True, False])
+    cfg = dem.DEMConfig(params=_params(), neighbor="cells", cell_capacity=4,
+                        max_neighbors=4)
+    nbr = dem.build_neighbor_list(pos, act, grid, cfg, 0.02)
+    nbr = np.asarray(nbr)
+    # particle 0 sees particle 1 and vice versa; inactive 2 sees nothing
+    assert 1 in nbr[0] and 0 not in nbr[0]
+    assert 0 in nbr[1] and 1 not in nbr[1]
+    assert (nbr[2] == 3).all()
+    # inactive particle never appears as a candidate
+    assert not (nbr[:2] == 2).any()
+
+
+def test_substeps_with_verlet_list_bounce():
+    """Head-on collision through the Verlet path conserves momentum."""
+    grid = Grid.cube(8, 1.0)
+    cfg = dem.DEMConfig(
+        params=_params(), neighbor="cells", cell_capacity=8, max_neighbors=8,
+        gravity=(0, 0, 0), wall_axes=(False,) * 3,
+        list_rebuild_every=30,   # travel exceeds the skin over 3000 substeps
+    )
+    r = 0.02
+    pos = jnp.array([[0.42, 0.5, 0.5], [0.5, 0.5, 0.5]])
+    vel = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    ang = jnp.zeros((2, 3))
+    rad = jnp.full((2,), r)
+    act = jnp.ones(2, bool)
+    dt = dem.critical_dt(r, cfg.params)
+    hydro = dem.DEMForces(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+    p0 = float(jnp.sum(vel[:, 0]))
+    pos, vel, ang = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+                                     dt, 3000, r)
+    np.testing.assert_allclose(float(jnp.sum(vel[:, 0])), p0, rtol=1e-3)
+    assert float(vel[1, 0]) > 0.3

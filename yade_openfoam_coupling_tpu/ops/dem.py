@@ -64,6 +64,16 @@ class DEMConfig:
     # behavior) or 'step' (once per fluid step, force held constant over the
     # substeps — valid for soft/rare contacts, large speedup at scale)
     contact_mode: str = "substep"
+    # Verlet-list parameters ('cells' mode): candidate lists are built once
+    # per fluid step from bins of size 2*r_max*(1+skin) and compacted to
+    # max_neighbors entries; forces are then evaluated per substep against
+    # the fixed list (standard Verlet-skin practice — valid while the
+    # per-fluid-step displacement stays under skin*r_max)
+    max_neighbors: int = 12
+    skin: float = 0.5
+    # rebuild the Verlet list every k substeps inside dem_substeps
+    # (0 = once per call — right when the caller rebuilds per fluid step)
+    list_rebuild_every: int = 0
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
@@ -266,6 +276,109 @@ def cell_list_contact_forces(
 
 
 # ---------------------------------------------------------------------------
+# Verlet neighbor lists: build once per fluid step, reuse across substeps
+# ---------------------------------------------------------------------------
+
+def build_neighbor_list(
+    pos, active, grid: Grid, cfg: DEMConfig, r_max: float,
+) -> jnp.ndarray:
+    """(N, max_neighbors) int32 candidate indices (N = empty slot).
+
+    TPU-shaped pipeline: one N-row scatter bins particles into a dense
+    (bx,by,bz,cap) table; 27 static rolls assemble each bin's neighborhood
+    into a (…, 27*cap) table; ONE N-row gather fetches each particle's
+    candidates; a static sort compacts them to max_neighbors. This replaces
+    both Yade's sweep-and-prune collider and the reference's per-particle
+    tree walks with dense ops + two row-indexed accesses."""
+    N = pos.shape[0]
+    cap = cfg.cell_capacity
+    M = cfg.max_neighbors
+    bin_size = 2.0 * r_max * (1.0 + cfg.skin)
+    dims, sizes = [], []
+    for a in range(3):
+        L = grid.lengths[a]
+        n = max(1, int(np.floor(L / max(bin_size, 1e-12))))
+        dims.append(n)
+        sizes.append(L / n)
+    bx, by, bz = dims
+    nbin = bx * by * bz
+
+    origin = jnp.asarray(grid.origin, pos.dtype)
+    csz = jnp.asarray(sizes, pos.dtype)
+    nvec = jnp.asarray(dims, jnp.int32)
+    ijk = jnp.clip(jnp.floor((pos - origin) / csz).astype(jnp.int32), 0, nvec - 1)
+    bin_of = ijk[:, 0] * (by * bz) + ijk[:, 1] * bz + ijk[:, 2]
+    bin_of = jnp.where(active, bin_of, nbin)
+
+    # fill table slots: rank within bin via sorted search
+    order = jnp.argsort(bin_of)
+    bin_sorted = bin_of[order]
+    rank = jnp.arange(N) - jnp.searchsorted(bin_sorted, bin_sorted, side="left")
+    table = jnp.full((nbin + 1) * cap, N, jnp.int32)
+    slot = jnp.clip(bin_sorted, 0, nbin) * cap + jnp.minimum(rank, cap - 1)
+    keep = rank < cap
+    table = table.at[jnp.where(keep, slot, (nbin + 1) * cap - 1)].set(
+        jnp.where(keep, order.astype(jnp.int32), N)
+    )
+    tgrid = table[: nbin * cap].reshape(bx, by, bz, cap)
+
+    # neighborhood table via 27 static rolls (wrap matches periodic axes;
+    # wall-axis wrap candidates are rejected later by the distance test)
+    offs = np.stack(
+        np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
+    ).reshape(-1, 3)
+    parts = []
+    for o in range(27):
+        dx, dy, dz = (int(v) for v in offs[o])
+        parts.append(jnp.roll(tgrid, (-dx, -dy, -dz), axis=(0, 1, 2)))
+    nbhd = jnp.concatenate(parts, axis=-1).reshape(nbin, 27 * cap)
+    nbhd = jnp.concatenate([nbhd, jnp.full((1, 27 * cap), N, jnp.int32)])
+
+    cand = nbhd[jnp.minimum(bin_of, nbin)]              # (N, 27*cap) row-gather
+    self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    valid = (cand != N) & (cand != self_idx) & active[:, None]
+    # compact: valid entries first, keep M
+    key = jnp.where(valid, 0, 1).astype(jnp.int8)
+    take = jnp.argsort(key, axis=1, stable=True)[:, :M]
+    nbr = jnp.take_along_axis(cand, take, axis=1)
+    nbr_valid = jnp.take_along_axis(valid, take, axis=1)
+    return jnp.where(nbr_valid, nbr, N)
+
+
+def neighbor_contact_forces(
+    nbr: jnp.ndarray,   # (N, M) from build_neighbor_list
+    pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair forces against a fixed candidate list (one 11-channel row-gather
+    of N*M rows per evaluation)."""
+    N = pos.shape[0]
+    p = cfg.params
+    m = particle_mass(radius, p.rho_p)
+    data = jnp.concatenate(
+        [pos, vel, angvel, radius[:, None], active.astype(pos.dtype)[:, None]],
+        axis=-1,
+    )
+    data = jnp.concatenate([data, jnp.zeros((1, 11), data.dtype)])
+    dj = data[nbr]                                      # (N, M, 11)
+    pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
+    rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
+    m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
+
+    valid = act_j & active[:, None] & (nbr != N)
+    dx = pos[:, None, :] - pos_j
+    dx = _min_image(dx, grid, cfg.periodic)
+    f, t = _pair_force(
+        dx,
+        vel[:, None, :], vel_j,
+        angvel[:, None, :], ang_j,
+        radius[:, None], rad_j,
+        m[:, None], m_j,
+        p, valid,
+    )
+    return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Wall contacts
 # ---------------------------------------------------------------------------
 
@@ -311,8 +424,11 @@ class DEMForces(NamedTuple):
     torque: jnp.ndarray   # (N,3)
 
 
-def contact_forces(pos, vel, angvel, radius, active, grid, cfg: DEMConfig, r_max: float):
-    if cfg.neighbor == "allpairs":
+def contact_forces(pos, vel, angvel, radius, active, grid, cfg: DEMConfig,
+                   r_max: float, nbr=None):
+    if nbr is not None:
+        fc, tc = neighbor_contact_forces(nbr, pos, vel, angvel, radius, active, grid, cfg)
+    elif cfg.neighbor == "allpairs":
         fc, tc = allpairs_contact_forces(pos, vel, angvel, radius, active, grid, cfg)
     elif cfg.neighbor == "cells":
         fc, tc = cell_list_contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
@@ -346,38 +462,58 @@ def dem_substeps(
     inv_m = jnp.where(active, 1.0 / m, 0.0)[:, None]
     inv_I = jnp.where(active, 1.0 / inertia, 0.0)[:, None]
 
-    if cfg.contact_mode == "step":
-        fc0, tc0 = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
+    def make_accel(nbr, pos0, vel0, angvel0):
+        if cfg.contact_mode == "step":
+            fc0, tc0 = contact_forces(pos0, vel0, angvel0, radius, active,
+                                      grid, cfg, r_max, nbr)
 
-        def accel(pos, vel, angvel):
-            f = fc0 + f_grav + hydro.force
-            t = tc0 + hydro.torque
-            return f * inv_m, t * inv_I
-    else:
-        def accel(pos, vel, angvel):
-            fc, tc = contact_forces(pos, vel, angvel, radius, active, grid, cfg, r_max)
-            f = fc + f_grav + hydro.force
-            t = tc + hydro.torque
-            return f * inv_m, t * inv_I
+            def accel(pos, vel, angvel):
+                f = fc0 + f_grav + hydro.force
+                t = tc0 + hydro.torque
+                return f * inv_m, t * inv_I
+        else:
+            def accel(pos, vel, angvel):
+                fc, tc = contact_forces(pos, vel, angvel, radius, active,
+                                        grid, cfg, r_max, nbr)
+                f = fc + f_grav + hydro.force
+                t = tc + hydro.torque
+                return f * inv_m, t * inv_I
+        return accel
 
-    def body(state, _):
+    def substep_body(accel):
+        def body(state, _):
+            pos, vel, angvel = state
+            a, aw = accel(pos, vel, angvel)
+            # velocity Verlet (kick-drift-kick)
+            vel_h = vel + 0.5 * dt_dem * a
+            angvel_h = angvel + 0.5 * dt_dem * aw
+            pos_n = pos + dt_dem * vel_h
+            a2, aw2 = accel(pos_n, vel_h, angvel_h)
+            vel_n = vel_h + 0.5 * dt_dem * a2
+            angvel_n = angvel_h + 0.5 * dt_dem * aw2
+            # wrap periodic axes
+            lo = jnp.asarray(grid.origin, pos.dtype)
+            L = jnp.asarray(grid.lengths, pos.dtype)
+            per = jnp.asarray(cfg.periodic)
+            pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
+            return (pos_n, vel_n, angvel_n), None
+        return body
+
+    use_list = cfg.neighbor == "cells"
+    every = cfg.list_rebuild_every if (use_list and cfg.list_rebuild_every > 0) else n_sub
+    every = min(every, n_sub)
+    n_chunks, rem = divmod(n_sub, every)
+    assert rem == 0, f"n_sub={n_sub} not divisible by list_rebuild_every={every}"
+
+    def chunk(state, _):
         pos, vel, angvel = state
-        a, aw = accel(pos, vel, angvel)
-        # velocity Verlet (kick-drift-kick)
-        vel_h = vel + 0.5 * dt_dem * a
-        angvel_h = angvel + 0.5 * dt_dem * aw
-        pos_n = pos + dt_dem * vel_h
-        a2, aw2 = accel(pos_n, vel_h, angvel_h)
-        vel_n = vel_h + 0.5 * dt_dem * a2
-        angvel_n = angvel_h + 0.5 * dt_dem * aw2
-        # wrap periodic axes
-        lo = jnp.asarray(grid.origin, pos.dtype)
-        L = jnp.asarray(grid.lengths, pos.dtype)
-        per = jnp.asarray(cfg.periodic)
-        pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
-        return (pos_n, vel_n, angvel_n), None
+        nbr = build_neighbor_list(pos, active, grid, cfg, r_max) if use_list else None
+        accel = make_accel(nbr, pos, vel, angvel)
+        return jax.lax.scan(substep_body(accel), (pos, vel, angvel), None,
+                            length=every)
 
-    (pos, vel, angvel), _ = jax.lax.scan(body, (pos, vel, angvel), None, length=n_sub)
+    (pos, vel, angvel), _ = jax.lax.scan(chunk, (pos, vel, angvel), None,
+                                         length=n_chunks)
     return pos, vel, angvel
 
 
