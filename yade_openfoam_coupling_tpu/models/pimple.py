@@ -38,7 +38,7 @@ from ..ops import pressure as pr
 from ..ops import stencil as st
 from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
 from .fields import FluidState
-from .piso import FluidBCs, PressureSolveInfo
+from .piso import FluidBCs, PressureSolveInfo, _precond_bc_for
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,8 +89,9 @@ def pimple_step(
     phi = fs.phi
     info = None
     pcfg = cfg.pressure
-    if not isinstance(ctx, LocalCtx) and pcfg.solver == "mgpcg":
-        pcfg = dataclasses.replace(pcfg, solver="pcg", maxiter=max(pcfg.maxiter, 400))
+    precond_bc = None
+    if not isinstance(ctx, LocalCtx):
+        precond_bc = _precond_bc_for(bcs.p, ctx)
 
     for _outer in range(cfg.n_outer):
         up = ctx.pad_v(u, bcs.u)
@@ -128,6 +129,7 @@ def pimple_step(
             res = pr.solve_pressure(
                 gamma_p, rhs, p, grid, bcs.p, pcfg,
                 pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
+                precond_bc=precond_bc,
             )
             p = res.x
             info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)

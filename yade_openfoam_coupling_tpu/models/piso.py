@@ -151,11 +151,11 @@ def piso_step(
     phi = fs.phi
     info = None
     pcfg = cfg.pressure
-    if not isinstance(ctx, LocalCtx) and pcfg.solver == "mgpcg":
-        # the MG preconditioner is block-local; under sharding fall back to
-        # globally-reduced Jacobi-PCG (block-local MG preconditioning is a
-        # planned refinement)
-        pcfg = dataclasses.replace(pcfg, solver="pcg", maxiter=max(pcfg.maxiter, 400))
+    precond_bc = None
+    if not isinstance(ctx, LocalCtx):
+        # block-local (additive-Schwarz) preconditioning: homogeneous BCs
+        # with Dirichlet-0 on sharded-axis faces (shard-internal edges)
+        precond_bc = _precond_bc_for(bcs.p, ctx)
     for _ in range(cfg.n_correctors):
         # recompute H with the latest U (Picard step, plays the role of
         # OpenFOAM's updated UEqn.H() between correctors)
@@ -171,6 +171,7 @@ def piso_step(
         res = pr.solve_pressure(
             gamma_f, rhs, p, grid, bcs.p, pcfg,
             pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
+            precond_bc=precond_bc,
         )
         p = res.x
         info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
@@ -183,3 +184,18 @@ def piso_step(
 
     new = fs._replace(u=u, p=p, phi=phi)
     return new, info
+
+
+def _precond_bc_for(p_bc: FieldBC, ctx) -> FieldBC:
+    """Homogenized pressure BC for block-local preconditioning under
+    sharding: sharded-axis faces become Dirichlet-0 (shard-internal edges),
+    which keeps each local block non-singular (additive Schwarz)."""
+    from ..ops.grid import DIRICHLET, FaceBC
+    faces = []
+    h = p_bc.homogeneous()
+    for a in range(3):
+        if ctx.mesh_axes[a] is not None:
+            faces.append((FaceBC(DIRICHLET, 0.0), FaceBC(DIRICHLET, 0.0)))
+        else:
+            faces.append(h.faces[a])
+    return FieldBC(tuple(faces))

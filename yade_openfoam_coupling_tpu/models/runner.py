@@ -30,6 +30,31 @@ class RunResult:
     wrote: list
 
 
+class DivergenceError(RuntimeError):
+    """Raised when the solution blows up (SURVEY.md §5.3: the reference has
+    no failure detection — a lost rank simply hangs its blocking MPI_Recv;
+    here a non-finite state aborts with diagnostics, and checkpoints allow
+    resuming from the last good snapshot)."""
+
+
+def check_finite(state: SimState, diag) -> None:
+    import numpy as np
+    bad = []
+    if not bool(jnp.all(jnp.isfinite(state.fluid.u))):
+        bad.append("U")
+    if not bool(jnp.all(jnp.isfinite(state.fluid.p))):
+        bad.append("p")
+    if not bool(jnp.all(jnp.isfinite(state.particles.pos))):
+        bad.append("particles.pos")
+    if bad:
+        raise DivergenceError(
+            f"non-finite fields {bad} at t={float(state.t):.6g} "
+            f"(step {int(state.step)}); last Courant max "
+            f"{float(diag.co_max):.3g}, p residual "
+            f"{float(diag.p_final_residual):.3g}"
+        )
+
+
 def run(
     cfg: CaseConfig,
     state: SimState,
@@ -40,6 +65,7 @@ def run(
     checkpoint_dir: Optional[str] = None,
     logger: Optional[RunLogger] = None,
     max_steps: Optional[int] = None,
+    check_health: bool = True,
 ) -> RunResult:
     """Advance until `controls.end_time` (or max_steps)."""
     logger = logger or RunLogger(every=chunk)
@@ -55,6 +81,8 @@ def run(
         steps += chunk
         last = jax.tree.map(lambda x: x[-1], diags)
         logger.log_step(state, last)
+        if check_health:
+            check_finite(state, last)
 
         if case_dir is not None and float(state.t) >= next_write:
             wrote.append(ckpt.write_time_dir(case_dir, state))

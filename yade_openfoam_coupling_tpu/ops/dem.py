@@ -284,12 +284,12 @@ def build_neighbor_list(
 ) -> jnp.ndarray:
     """(N, max_neighbors) int32 candidate indices (N = empty slot).
 
-    TPU-shaped pipeline: one N-row scatter bins particles into a dense
-    (bx,by,bz,cap) table; 27 static rolls assemble each bin's neighborhood
-    into a (…, 27*cap) table; ONE N-row gather fetches each particle's
-    candidates; a static sort compacts them to max_neighbors. This replaces
-    both Yade's sweep-and-prune collider and the reference's per-particle
-    tree walks with dense ops + two row-indexed accesses."""
+    TPU-shaped pipeline: one N-row scatter bins particles into a FLAT 1-D
+    slot table (1-D avoids the 16x sublane padding a (nbin, cap) int array
+    suffers); one `lax.gather` with (cap,)-slices fetches the 27 neighbor
+    bins' slots per particle; a static sort compacts them to max_neighbors.
+    This replaces both Yade's sweep-and-prune collider and the reference's
+    per-particle tree walks (`meshTree.C`)."""
     N = pos.shape[0]
     cap = cfg.cell_capacity
     M = cfg.max_neighbors
@@ -310,31 +310,35 @@ def build_neighbor_list(
     bin_of = ijk[:, 0] * (by * bz) + ijk[:, 1] * bz + ijk[:, 2]
     bin_of = jnp.where(active, bin_of, nbin)
 
-    # fill table slots: rank within bin via sorted search
+    # fill flat table slots: rank within bin via sorted search
     order = jnp.argsort(bin_of)
     bin_sorted = bin_of[order]
     rank = jnp.arange(N) - jnp.searchsorted(bin_sorted, bin_sorted, side="left")
-    table = jnp.full((nbin + 1) * cap, N, jnp.int32)
+    table = jnp.full((nbin + 1) * cap, N, jnp.int32)      # flat: no padding
     slot = jnp.clip(bin_sorted, 0, nbin) * cap + jnp.minimum(rank, cap - 1)
     keep = rank < cap
     table = table.at[jnp.where(keep, slot, (nbin + 1) * cap - 1)].set(
         jnp.where(keep, order.astype(jnp.int32), N)
     )
-    tgrid = table[: nbin * cap].reshape(bx, by, bz, cap)
 
-    # neighborhood table via 27 static rolls (wrap matches periodic axes;
-    # wall-axis wrap candidates are rejected later by the distance test)
-    offs = np.stack(
+    # neighbor bin ids (wrap everywhere; wall-axis wrap candidates are
+    # rejected later by the distance test)
+    offs = jnp.asarray(np.stack(
         np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
-    ).reshape(-1, 3)
-    parts = []
-    for o in range(27):
-        dx, dy, dz = (int(v) for v in offs[o])
-        parts.append(jnp.roll(tgrid, (-dx, -dy, -dz), axis=(0, 1, 2)))
-    nbhd = jnp.concatenate(parts, axis=-1).reshape(nbin, 27 * cap)
-    nbhd = jnp.concatenate([nbhd, jnp.full((1, 27 * cap), N, jnp.int32)])
+    ).reshape(-1, 3), jnp.int32)
+    nb = jnp.mod(ijk[:, None, :] + offs[None], nvec)      # (N,27,3)
+    nb_bin = nb[..., 0] * (by * bz) + nb[..., 1] * bz + nb[..., 2]
+    nb_bin = jnp.where(active[:, None], nb_bin, nbin)
 
-    cand = nbhd[jnp.minimum(bin_of, nbin)]              # (N, 27*cap) row-gather
+    # fetch each neighbor bin's slot list as a contiguous (cap,) slice
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    cand = jax.lax.gather(
+        table, (nb_bin * cap)[..., None], dn, slice_sizes=(cap,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(N, 27 * cap)
+
     self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
     valid = (cand != N) & (cand != self_idx) & active[:, None]
     # compact: valid entries first, keep M

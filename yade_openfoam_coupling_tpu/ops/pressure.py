@@ -296,6 +296,7 @@ def solve_pressure(
     pad: Optional[PadFn] = None,
     reduce_sum: ReduceFn = _ident,
     nullspace: Optional[bool] = None,
+    precond_bc: Optional[FieldBC] = None,
 ) -> CGResult:
     """Solve div(gamma_f grad p) = rhs.
 
@@ -330,11 +331,18 @@ def solve_pressure(
 
     apply_A = lambda p: poisson_apply(p, gamma_f, grid, pad) - bc_const
 
+    # Preconditioners act on the LOCAL block: under shard_map `rhs` is the
+    # per-shard slab, so derive the preconditioner's grid from it (the MG
+    # V-cycle then runs block-locally = additive-Schwarz; the outer CG's
+    # psum'd dot products carry the global coupling). `precond_bc` lets the
+    # sharded caller homogenize shard-internal edges to Dirichlet-0.
+    mg_grid = Grid(tuple(rhs.shape), grid.spacing, grid.origin)
+    pbc = precond_bc if precond_bc is not None else hbc
     if cfg.solver == "mgpcg":
-        M = make_mg_preconditioner(gamma_f, grid, hbc, cfg.mg)
+        M = make_mg_preconditioner(gamma_f, mg_grid, pbc, cfg.mg)
     elif cfg.solver == "pcg":
         inv_diag = 1.0 / jnp.where(
-            jnp.abs(d := poisson_diag(gamma_f, grid, bc)) < 1e-30, -1.0, d
+            jnp.abs(d := poisson_diag(gamma_f, mg_grid, pbc)) < 1e-30, -1.0, d
         )
         M = lambda r: inv_diag * r
     else:

@@ -121,11 +121,35 @@ def load_pressure_solver(case: Path) -> pr.PressureSolverConfig:
     )
 
 
+_SCHEME_MAP = {
+    "linear": "linear",
+    "upwind": "upwind",
+    "linearUpwind": "linearUpwind",
+    "limitedLinear": "linearUpwind",   # nearest supported blend
+    "Gauss": None,                     # token preceding the scheme name
+}
+
+
+def load_convection_scheme(case: Path) -> str:
+    """fvSchemes divSchemes div(phi,U) -> convection scheme name."""
+    d = _read(case, "system/fvSchemes")
+    entry = fd.get(d, "divSchemes.div(phi,U)") or fd.get(d, "divSchemes.default")
+    if entry is None:
+        return "linear"
+    toks = entry if isinstance(entry, list) else [entry]
+    for t in toks:
+        m = _SCHEME_MAP.get(str(t), None)
+        if m:
+            return m
+    return "linear"
+
+
 def load_piso(case: Path, pressure: pr.PressureSolverConfig) -> PISOConfig:
     d = _read(case, "system/fvSolution")
     return PISOConfig(
         n_correctors=int(fd.get(d, "PISO.nCorrectors", 2)),
         momentum_predictor=bool(fd.get(d, "PISO.momentumPredictor", True)),
+        convection_scheme=load_convection_scheme(case),
         pressure=pressure,
     )
 
@@ -136,6 +160,7 @@ def load_pimple(case: Path, pressure: pr.PressureSolverConfig) -> PIMPLEConfig:
         n_outer=int(fd.get(d, "PIMPLE.nOuterCorrectors", 2)),
         n_correctors=int(fd.get(d, "PIMPLE.nCorrectors", 1)),
         momentum_predictor=bool(fd.get(d, "PIMPLE.momentumPredictor", False)),
+        convection_scheme=load_convection_scheme(case),
         pressure=pressure,
     )
 
