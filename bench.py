@@ -49,7 +49,9 @@ def main():
         bcs=FluidBCs.channel_z(),
         transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
         solver="pimple",
-        coupling=cp.CouplingConfig(gaussian=True),
+        # lag_alpha: one-step-lagged alpha_f gather (documented O(dt)
+        # approximation) folds the drag's alpha gather into the main pass
+        coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
@@ -58,6 +60,7 @@ def main():
             wall_axes=(False, False, True),
             neighbor="cells",
             cell_capacity=8,
+            max_neighbors=12,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

@@ -63,8 +63,12 @@ class CouplingConfig:
 
     gaussian: bool = True
     stencil_width: int = 3          # 3 -> 27-cell support, 5 -> 125
-    use_added_mass: bool = False    # hook exists, off (as in reference :618)
-    use_torque: bool = True
+    use_added_mass: bool = False    # hook exists, not called (FoamYade.C:392)
+    # In the reference the Gaussian branch's calcHydroTorque call is
+    # commented out (`FoamYade.C:618`); only the point-force branch sends
+    # torque (`FoamYade.C:626`). Parity default: torque off here, and the
+    # point-force plumbing forces it on.
+    use_torque: bool = False
     added_mass_coeff: float = 0.5
     alpha_min: float = ALPHA_MIN
     # Performance option: evaluate the drag's alpha_f from the PREVIOUS
@@ -463,32 +467,42 @@ def gaussian_physics(
     dia = 2.0 * pf.radius
     lag = cfg.lag_alpha and prev_alpha is not None
 
-    # --- batched input gather: u(3), grad p(3), div tau(3), curl(3),
+    # --- batched input gather: u(3), grad p(3), div tau(3), [curl(3)],
     #     [ddtU(3)], [lagged alpha(1)] in ONE row-gather -----------------
-    in_fields = [fluid_u, grad_p, div_tau, curl_u]
+    in_fields = [fluid_u, grad_p, div_tau]
+    if cfg.use_torque:
+        in_fields.append(curl_u)
     if cfg.use_added_mass:
         in_fields.append(ddt_u)
     if lag:
         in_fields.append(prev_alpha)
     g = ops.gather_stack(in_fields)                              # (N, C)
-    uf, pg, dt_tau, curl_p = g[:, 0:3], g[:, 3:6], g[:, 6:9], g[:, 9:12]
+    uf, pg, dt_tau = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    c = 9
+    if cfg.use_torque:
+        curl_p = g[:, c:c + 3]
+        c += 3
+    if cfg.use_added_mass:
+        ddtu = g[:, c:c + 3]
+        c += 3
 
-    # --- stage-1 deposit: particle volume (1) + momentum (3), ONE scatter
-    #     (setCellVolFraction, FoamYade.C:318-328) ------------------------
     wv = weights * vol[:, None]                                  # (N,S)
     dep1 = jnp.concatenate(
         [wv[..., None], wv[..., None] * pf.vel[:, None, :]], axis=-1
     )
-    out1 = ops.deposit_stack(dep1)                               # (4, grid)
-    pvol, up = out1[0], out1[1:4]
-    alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
-    u_particle = up / cell_volume
+
+    if not lag:
+        # reference-exact ordering: deposit alpha/uParticle first
+        # (setCellVolFraction, FoamYade.C:318-328), then gather alpha
+        out1 = ops.deposit_stack(dep1)                           # (4, grid)
+        pvol, up = out1[0], out1[1:4]
+        alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
+        u_particle = up / cell_volume
+        alpha_f = ops.gather_stack([alpha])[:, 0]
+    else:
+        alpha_f = g[:, -1]
 
     # --- drag (FoamYade.C:354-389) --------------------------------------
-    if lag:
-        alpha_f = g[:, -1]
-    else:
-        alpha_f = ops.gather_stack([alpha])[:, 0]
     alpha_p = jnp.clip(1.0 - alpha_f, 1e-6, 1.0)
     ur = uf - pf.vel
     mag_ur = jnp.linalg.norm(ur, axis=-1)
@@ -503,7 +517,6 @@ def gaussian_physics(
     force = f_drag + f_arch
 
     if cfg.use_added_mass:
-        ddtu = g[:, 12:15]
         # classical form: Cam * rho_f * V_p * Du_f/Dt (particle-acceleration
         # reaction handled on the DEM side via effective mass)
         f_am = cfg.added_mass_coeff * rho_f * vol[:, None] * ddtu
@@ -512,10 +525,12 @@ def gaussian_physics(
     else:
         f_am = None
 
-    # --- stage-2 deposit: implicit drag (1) + explicit source (3), ONE
-    #     scatter. uSourceDrag[c] += -coeff*w/rho_f (FoamYade.C:385); the
-    #     explicit drag counterpart -coeff*w*uParticle[c]/rho_f
-    #     (FoamYade.C:386) factors as uSourceDrag * uParticle exactly. ----
+    # --- source deposits: implicit drag (1) + explicit source (3).
+    #     uSourceDrag[c] += -coeff*w/rho_f (FoamYade.C:385); the explicit
+    #     drag counterpart -coeff*w*uParticle[c]/rho_f (FoamYade.C:386)
+    #     factors as uSourceDrag * uParticle — a FIELD product, so these
+    #     deposits are independent of stage 1 and fuse into ONE scatter
+    #     when alpha_f came from the lagged field. ------------------------
     src_part = -f_arch if f_am is None else -(f_arch + f_am)
     dep2 = jnp.concatenate(
         [
@@ -524,7 +539,14 @@ def gaussian_physics(
         ],
         axis=-1,
     )
-    out2 = ops.deposit_stack(dep2)
+    if lag:
+        out = ops.deposit_stack(jnp.concatenate([dep1, dep2], axis=-1))
+        pvol, up = out[0], out[1:4]
+        alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
+        u_particle = up / cell_volume
+        out2 = out[4:]
+    else:
+        out2 = ops.deposit_stack(dep2)
     u_source_drag = out2[0]
     u_source = u_source_drag[None] * u_particle + out2[1:4]
 
@@ -679,6 +701,9 @@ def point_force_coupling(
     corners = np.stack(
         np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
     ).reshape(-1, 3)
+    # the reference's point-force branch always computes torque
+    # (calcHydroTorque -> stokesDragTorque, FoamYade.C:626)
+    cfg = dataclasses.replace(cfg, use_torque=True)
     return point_force_physics(
         pf, fluid_u, curl_u, sup.weights, found,
         local_support_ops(sup, grid, corners), grid.cell_volume, nu, rho_f, cfg,

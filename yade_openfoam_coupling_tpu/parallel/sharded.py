@@ -307,7 +307,8 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         else:
             res = cp.point_force_physics(
                 pf, fs.u, curl_u, w, found_local, ops,
-                grid.cell_volume, tp.nu, tp.rho_f, ccfg,
+                grid.cell_volume, tp.nu, tp.rho_f,
+                dataclasses.replace(ccfg, use_torque=True),
             )
 
         # complete per-particle results across shards (each particle owned
