@@ -116,7 +116,12 @@ def exchange(
     curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx)
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
-        return cp.gaussian_coupling(
+        fn = (
+            cp.gaussian_coupling_chunked
+            if cfg.particle_chunks > 1
+            else cp.gaussian_coupling
+        )
+        return fn(
             pf, fs.u, grad_p, div_tau, ddt_u, curl_u,
             grid, periodic, tp.nu, tp.rho_f, dt, cfg,
             prev_alpha=fs.alpha,

@@ -98,8 +98,14 @@ def pimple_step(
         conv = st.div_phi_vector_padded(phi_alpha, up, grid, cfg.convection_scheme)
         visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
 
+        # fvm::ddt(alphac, Uc): (alpha^{n+1} u^{n+1} - alpha^n u^n)/dt ->
+        # diagonal alpha^{n+1}/dt, source alpha^n u^n/dt. The source MUST
+        # anchor at u^n (= fs.u, the pre-step velocity): anchoring one
+        # level further back (u^{n-1}) while the deferred convection/
+        # diffusion use u^n makes the scheme leapfrog — unconditionally
+        # unstable for diffusion.
         A = alpha / dt - sp_cont - fs.u_source_drag
-        H = alpha * fs.u_old / dt - conv + visc
+        H = alpha_old * fs.u / dt - conv + visc
         rAU = 1.0 / A
         HbyA = rAU[None] * H
         rAU_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))  # rAUcf ("Dp")

@@ -57,6 +57,10 @@ INTERP_RANGE_CELLS = 4.0
 SIGMA_OVER_RANGE = 0.42460
 ALPHA_MIN = 0.10  # volume-fraction clamp, `FoamYade.C:324`
 
+# deposit_stack fast path cap: (ncells, S*C) f32 anchor buffer must fit
+# comfortably in HBM next to the state (~2.4 GB at the 128^3 benchmark)
+ROLL_BUFFER_ELEM_LIMIT = 700_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class CouplingConfig:
@@ -83,6 +87,12 @@ class CouplingConfig:
     # order as the coupling splitting itself. Default off (reference-exact
     # ordering: alpha deposited, then gathered, FoamYade.C:612-617).
     lag_alpha: bool = False
+    # Memory control at large N: process particles in this many lax.scan
+    # chunks, accumulating the deposit fields. Every (N, S, c) transient is
+    # lane-padded ~10-16x on TPU, so 1M particles unchunked needs ~14 GB;
+    # chunking bounds it at (N/chunks). Requires lag_alpha (single pass).
+    # 1 = unchunked.
+    particle_chunks: int = 1
 
 
 class ParticleFields(NamedTuple):
@@ -136,20 +146,22 @@ def _stencil_offsets(width: int) -> np.ndarray:
     return np.stack(np.meshgrid(o, o, o, indexing="ij"), -1).reshape(-1, 3)
 
 
-def _flat_cell_ids(cells: jnp.ndarray, grid: Grid, bc_periodic: Tuple[bool, bool, bool],
+def _flat_cell_ids(cells, grid: Grid, bc_periodic: Tuple[bool, bool, bool],
                    valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Flatten (…,3) cell indices, wrapping periodic axes and masking cells
-    outside non-periodic boundaries. Invalid entries map to segment `ncells`
-    (a scrap bin dropped after segment_sum)."""
+    """Flatten per-axis cell indices (3-tuple of (...,) int arrays — kept
+    separate so no (N,S,3) trailing-3 transient gets lane-padded 40x at
+    large N), wrapping periodic axes and masking cells outside non-periodic
+    boundaries. Invalid entries map to segment `ncells` (a scrap bin
+    dropped after segment_sum)."""
     nx, ny, nz = grid.shape
-    n = jnp.asarray(grid.shape, jnp.int32)
-    wrapped = jnp.mod(cells, n)
-    in_rng = (cells >= 0) & (cells < n)
-    use = []
-    for a in range(3):
-        use.append(jnp.where(bc_periodic[a], True, in_rng[..., a]))
-    ok = valid & use[0] & use[1] & use[2]
-    flat = wrapped[..., 0] * (ny * nz) + wrapped[..., 1] * nz + wrapped[..., 2]
+    ok = valid
+    wrapped = []
+    for a, c in enumerate(cells):
+        n_a = grid.shape[a]
+        wrapped.append(jnp.mod(c, n_a))
+        if not bc_periodic[a]:
+            ok = ok & (c >= 0) & (c < n_a)
+    flat = wrapped[0] * (ny * nz) + wrapped[1] * nz + wrapped[2]
     flat = jnp.where(ok, flat, nx * ny * nz)
     return flat, ok
 
@@ -199,21 +211,27 @@ def gaussian_cells_raw_weights(
     Weight formula matches `calcInterpWeightGaussian` (`FoamYade.C:293-316`):
     w_i = exp(-|x_c - x_p|^2 / (2 sigma^2)); the reference's constant
     prefactor interpRangeCu*sigmaPi (`FoamYade.C:308`) cancels in the
-    normalization and is omitted."""
-    offsets = jnp.asarray(_stencil_offsets(cfg.stencil_width), jnp.int32)  # (S,3)
-    base, inside = locate(pos, grid)
-    cells = base[:, None, :] + offsets[None, :, :]              # (N,S,3)
+    normalization and is omitted.
 
-    origin = jnp.asarray(grid.origin, pos.dtype)
-    h = jnp.asarray(grid.spacing, pos.dtype)
-    centers = origin + (cells.astype(pos.dtype) + 0.5) * h      # (N,S,3)
-    d2 = jnp.sum((centers - pos[:, None, :]) ** 2, axis=-1)
+    Cells are returned as a 3-tuple of (N,S) per-axis index arrays (a
+    single (N,S,3) array would be lane-padded ~40x in HBM at large N)."""
+    offsets = _stencil_offsets(cfg.stencil_width)               # (S,3) numpy
+    base, inside = locate(pos, grid)
+
+    cells = []
+    d2 = 0.0
+    for a in range(3):
+        off_a = jnp.asarray(offsets[:, a], jnp.int32)           # (S,)
+        ca = base[:, a:a + 1] + off_a[None, :]                  # (N,S)
+        cells.append(ca)
+        centers_a = grid.origin[a] + (ca.astype(pos.dtype) + 0.5) * grid.spacing[a]
+        d2 = d2 + (centers_a - pos[:, a:a + 1]) ** 2
 
     h_mean = float(np.cbrt(grid.cell_volume))
     interp_range = INTERP_RANGE_CELLS * h_mean
     sigma = SIGMA_OVER_RANGE * interp_range
     w = jnp.exp(-d2 / (2.0 * sigma * sigma))
-    return cells, w, active & inside
+    return tuple(cells), w, active & inside
 
 
 def normalize_weights(w: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
@@ -389,11 +407,15 @@ def deposit_stack(
     Out-of-domain contributions are already zero-masked in `values`/weights,
     so the periodic wrap of `roll` deposits only zeros at wall axes.
 
-    Fallback (offsets None): direct (N*S)-row payload scatter.
+    Fallback (offsets None, or when the anchor buffer would exceed
+    ROLL_BUFFER_ELEM_LIMIT elements — e.g. a full 256^3 grid, where the
+    (ncells, S*C) buffer would be ~14 GB): direct (N*S)-row payload scatter,
+    ~3x slower but O(ncells*C) memory. Sharded runs keep the fast path: the
+    per-shard slab is small.
     """
     ncells = grid.ncells
     N, S, C = values.shape
-    if offsets is None:
+    if offsets is None or ncells * S * C > ROLL_BUFFER_ELEM_LIMIT:
         flat = jax.ops.segment_sum(
             values.reshape(-1, C), sup.flat_ids.reshape(-1), num_segments=ncells + 1
         )
@@ -619,15 +641,18 @@ def trilinear_cells_raw_weights(
     base = jnp.floor(s).astype(jnp.int32)
     frac = s - base.astype(pos.dtype)
 
-    corners = jnp.asarray(
-        np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1).reshape(-1, 3),
-        jnp.int32,
-    )
-    cells = base[:, None, :] + corners[None, :, :]               # (N,8,3)
-    cw = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
-    w = jnp.prod(cw, axis=-1)                                    # (N,8)
+    corners = np.stack(
+        np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+    ).reshape(-1, 3)
+    cells = []
+    w = 1.0
+    for a in range(3):
+        corn_a = jnp.asarray(corners[:, a], jnp.int32)           # (8,)
+        cells.append(base[:, a:a + 1] + corn_a[None, :])         # (N,8)
+        fa = frac[:, a:a + 1]
+        w = w * jnp.where(corn_a[None, :] == 1, fa, 1.0 - fa)
     _, inside = locate(pos, grid)
-    return cells, w, active & inside
+    return tuple(cells), w, active & inside
 
 
 def trilinear_weights(pos: jnp.ndarray, grid: Grid, periodic, active) -> GaussianSupport:
@@ -640,6 +665,85 @@ def trilinear_weights(pos: jnp.ndarray, grid: Grid, periodic, active) -> Gaussia
     anchor = jnp.floor((pos - origin) / h - 0.5).astype(jnp.int32)
     base = _wrap_flat(anchor, valid_particle, grid)
     return GaussianSupport(flat, normalize_weights(w, ok), ok, base)
+
+
+def gaussian_coupling_chunked(
+    pf: ParticleFields,
+    fluid_u: jnp.ndarray,
+    grad_p: jnp.ndarray,
+    div_tau: jnp.ndarray,
+    ddt_u: jnp.ndarray,
+    curl_u: jnp.ndarray,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    nu: float,
+    rho_f: float,
+    dt,
+    cfg: CouplingConfig,
+    prev_alpha: jnp.ndarray,
+) -> CouplingResult:
+    """Memory-bounded 4-way coupling: lax.scan over particle chunks.
+
+    Identical physics to `gaussian_coupling` with `lag_alpha` (required —
+    the lagged alpha makes every chunk independent, so one pass suffices);
+    grid fields accumulate across chunks, per-particle outputs concatenate.
+    Needed at ~1M particles where the (N, 27, C) transients' lane padding
+    exceeds HBM."""
+    assert cfg.lag_alpha, "particle_chunks > 1 requires lag_alpha=True"
+    N = pf.pos.shape[0]
+    k = cfg.particle_chunks
+    assert N % k == 0, f"capacity {N} not divisible by particle_chunks={k}"
+    csz = N // k
+
+    def reshape_chunks(x):
+        return x.reshape((k, csz) + x.shape[1:])
+
+    pf_chunks = ParticleFields(*(reshape_chunks(x) for x in pf))
+
+    shape = grid.shape
+    zero_fields = {
+        "pvol": jnp.zeros(shape, fluid_u.dtype),
+        "up": jnp.zeros((3,) + shape, fluid_u.dtype),
+        "usd": jnp.zeros(shape, fluid_u.dtype),
+        "src": jnp.zeros((3,) + shape, fluid_u.dtype),
+    }
+
+    def body(acc, sl):
+        sl_pf = ParticleFields(*sl)
+        res = gaussian_coupling(
+            sl_pf, fluid_u, grad_p, div_tau, ddt_u, curl_u,
+            grid, periodic, nu, rho_f, dt, cfg, prev_alpha=prev_alpha,
+        )
+        # un-finalize the chunk's alpha back to the raw volume deposit so
+        # chunks accumulate linearly (the clamp is applied once at the end)
+        pvol_chunk = (1.0 - jnp.maximum(res.alpha, cfg.alpha_min)) * grid.cell_volume
+        # NOTE: alpha=max(1-pvol/Vc, amin) loses pvol where clamped; chunks
+        # rarely clamp alone, and we rebuild exactly below from u_particle
+        # instead. Accumulate the unclamped deposit:
+        acc = dict(
+            pvol=acc["pvol"] + pvol_chunk,
+            up=acc["up"] + res.u_particle * grid.cell_volume,
+            usd=acc["usd"] + res.u_source_drag,
+            src=acc["src"] + (res.u_source - res.u_source_drag[None] * res.u_particle),
+        )
+        return acc, (res.force, res.torque, res.found)
+
+    acc, (forces, torques, founds) = jax.lax.scan(
+        body, zero_fields, tuple(pf_chunks)
+    )
+    alpha = jnp.maximum(1.0 - acc["pvol"] / grid.cell_volume, cfg.alpha_min)
+    u_particle = acc["up"] / grid.cell_volume
+    u_source_drag = acc["usd"]
+    u_source = acc["src"] + u_source_drag[None] * u_particle
+    return CouplingResult(
+        force=forces.reshape(N, 3),
+        torque=torques.reshape(N, 3),
+        alpha=alpha,
+        u_particle=u_particle,
+        u_source=u_source,
+        u_source_drag=u_source_drag,
+        found=founds.reshape(N),
+    )
 
 
 def point_force_physics(

@@ -79,6 +79,10 @@ class DEMConfig:
     # (and should carry a bigger cap) when the 2r(1+skin) sizing would
     # exceed this
     max_bins: int = 2_000_000
+    # evaluate contact forces in this many particle chunks (lax.map) — the
+    # (N, M, 11) candidate-data transient is lane-padded ~12x, so bound it
+    # at large N. 1 = unchunked.
+    force_chunks: int = 1
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
@@ -359,7 +363,8 @@ def neighbor_contact_forces(
     pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair forces against a fixed candidate list (one 11-channel row-gather
-    of N*M rows per evaluation)."""
+    of N*M rows per evaluation; `cfg.force_chunks` bounds the lane-padded
+    (chunk, M, 11) transient at large N)."""
     N = pos.shape[0]
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
@@ -368,23 +373,41 @@ def neighbor_contact_forces(
         axis=-1,
     )
     data = jnp.concatenate([data, jnp.zeros((1, 11), data.dtype)])
-    dj = data[nbr]                                      # (N, M, 11)
-    pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
-    rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
-    m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
 
-    valid = act_j & active[:, None] & (nbr != N)
-    dx = pos[:, None, :] - pos_j
-    dx = _min_image(dx, grid, cfg.periodic)
-    f, t = _pair_force(
-        dx,
-        vel[:, None, :], vel_j,
-        angvel[:, None, :], ang_j,
-        radius[:, None], rad_j,
-        m[:, None], m_j,
-        p, valid,
+    def eval_block(args):
+        nbr_b, pos_b, vel_b, ang_b, rad_b, act_b = args
+        dj = data[nbr_b]                                # (n, M, 11)
+        pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
+        rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
+        m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
+        m_b = particle_mass(rad_b, p.rho_p)
+        valid = act_j & act_b[:, None] & (nbr_b != N)
+        dx = pos_b[:, None, :] - pos_j
+        dx = _min_image(dx, grid, cfg.periodic)
+        f, t = _pair_force(
+            dx,
+            vel_b[:, None, :], vel_j,
+            ang_b[:, None, :], ang_j,
+            rad_b[:, None], rad_j,
+            m_b[:, None], m_j,
+            p, valid,
+        )
+        return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+
+    k = cfg.force_chunks
+    if k <= 1:
+        return eval_block((nbr, pos, vel, angvel, radius, active))
+    assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
+
+    def chunked(x):
+        return x.reshape((k, N // k) + x.shape[1:])
+
+    f, t = jax.lax.map(
+        eval_block,
+        (chunked(nbr), chunked(pos), chunked(vel), chunked(angvel),
+         chunked(radius), chunked(active)),
     )
-    return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+    return f.reshape(N, 3), t.reshape(N, 3)
 
 
 # ---------------------------------------------------------------------------

@@ -128,7 +128,7 @@ def _gather_bc(bcs) -> FieldBC:
 
 
 def _sharded_support_ops(
-    cells: jnp.ndarray,        # (N,S,3) unwrapped global cell indices
+    cells,                     # 3-tuple of (N,S) unwrapped global cell indices
     weights: jnp.ndarray,      # (N,S) normalized, owner-masked
     owner: jnp.ndarray,        # (N,) bool
     base: jnp.ndarray,         # (N,3) anchor cell (global indices)
@@ -147,13 +147,13 @@ def _sharded_support_ops(
     ok = owner[:, None]
     for a in range(3):
         if not periodic[a]:
-            ok = ok & (cells[..., a] >= 0) & (cells[..., a] < grid.shape[a])
+            ok = ok & (cells[a] >= 0) & (cells[a] < grid.shape[a])
     w = jnp.where(ok, weights, 0.0)
 
     # extended-slab x index in [0, n_loc+2); owner guarantee keeps it in range
-    lxe = jnp.clip(cells[..., 0] - start + 1, 0, n_loc + 1)
-    wy = jnp.mod(cells[..., 1], ny)
-    wz = jnp.mod(cells[..., 2], nz)
+    lxe = jnp.clip(cells[0] - start + 1, 0, n_loc + 1)
+    wy = jnp.mod(cells[1], ny)
+    wz = jnp.mod(cells[2], nz)
 
     ncell_ext = (n_loc + 2) * ny * nz
     dep_ids = jnp.where(ok, lxe * (ny * nz) + wy * nz + wz, ncell_ext)
@@ -271,7 +271,7 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         ok_glob = validp[:, None]
         for a in range(3):
             if not periodic[a]:
-                ok_glob = ok_glob & (cells[..., a] >= 0) & (cells[..., a] < grid.shape[a])
+                ok_glob = ok_glob & (cells[a] >= 0) & (cells[a] < grid.shape[a])
         w_norm = cp.normalize_weights(w_raw, ok_glob)
 
         # owner election: the shard holding the base cell
