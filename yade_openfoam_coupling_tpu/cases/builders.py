@@ -158,6 +158,18 @@ def dense_suspension(n_particles: int = 100_000, n: int = 128,
 def fluidized_bed_1m(n_particles: int = 1_000_000, n: int = 256,
                      seed: int = 0) -> Tuple[cd.CaseConfig, SimState, float]:
     """Config #5 (north star): 1M particles on 256^3, built to shard over
-    8 chips via `parallel.sharded.make_sharded_scan`."""
-    case = dense_suspension(n_particles=n_particles, n=n, seed=seed)
-    return case
+    8 chips via `parallel.sharded.make_sharded_scan`.
+
+    Memory-bounded settings: lag_alpha + 8-way particle chunking in the
+    exchange and DEM (the (N, S, c) transients are lane-padded on TPU and
+    exceed single-chip HBM unchunked at this N)."""
+    import dataclasses
+    cfg, state, dt = dense_suspension(n_particles=n_particles, n=n, seed=seed)
+    cfg = dataclasses.replace(
+        cfg,
+        coupling=dataclasses.replace(
+            cfg.coupling, lag_alpha=True, particle_chunks=8
+        ),
+        dem=dataclasses.replace(cfg.dem, force_chunks=8),
+    )
+    return cfg, state, dt
