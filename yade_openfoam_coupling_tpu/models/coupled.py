@@ -85,17 +85,27 @@ class CaseConfig:
         return self.bcs.periodic_axes()
 
 
-def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt, ctx):
+def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt,
+                     ctx, ccfg: cp.CouplingConfig):
     """The derived grid fields the engine consumes — the refresh block of
-    `pimpleFoamYade.C:73-76` (ddtU_f, gradP, divT, vGrad)."""
+    `pimpleFoamYade.C:73-76` (ddtU_f, gradP, divT, vGrad). Fields whose
+    force models are disabled (torque -> vGrad/curl, added mass -> ddtU)
+    are skipped entirely; the reference computes them unconditionally."""
     up = ctx.pad_v(fs.u, bcs.u)
-    G = st.grad_vector_padded(up, grid)
-    curl_u = st.curl_from_grad(G)
+    need_curl = ccfg.use_torque or not ccfg.gaussian
+    if need_curl:
+        G = st.grad_vector_padded(up, grid)
+        curl_u = st.curl_from_grad(G)
+    else:
+        curl_u = fs.u  # placeholder, never gathered
     grad_p = st.grad_scalar_padded(ctx.pad_s(fs.p, bcs.p), grid)
     alpha_f = st.face_interp_all_padded(ctx.pad_s(fs.alpha, _NEU))
     div_tau = 2.0 * nu * st.laplacian_gamma_vector_padded(alpha_f, up, grid)
-    conv = st.div_phi_vector_padded(fs.phi, up, grid)
-    ddt_u = (fs.u - fs.u_old) / dt + conv
+    if ccfg.use_added_mass:
+        conv = st.div_phi_vector_padded(fs.phi, up, grid)
+        ddt_u = (fs.u - fs.u_old) / dt + conv
+    else:
+        ddt_u = fs.u  # placeholder, never gathered
     return curl_u, grad_p, div_tau, ddt_u
 
 

@@ -337,25 +337,43 @@ def build_neighbor_list(
         jnp.where(keep, order.astype(jnp.int32), N)
     ).reshape(nbin + 1, cap)
 
-    # neighbor bin ids (wrap everywhere; wall-axis wrap candidates are
-    # rejected later by the distance test)
-    offs = jnp.asarray(np.stack(
+    # neighbor bin ids per axis (wrap everywhere; wall-axis wrap candidates
+    # are rejected later by the distance test). Per-axis (N,27) arrays — a
+    # (N,27,3) stack would be lane-padded ~40x.
+    offs_np = np.stack(
         np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
-    ).reshape(-1, 3), jnp.int32)
-    nb = jnp.mod(ijk[:, None, :] + offs[None], nvec)      # (N,27,3)
-    nb_bin = nb[..., 0] * (by * bz) + nb[..., 1] * bz + nb[..., 2]
+    ).reshape(-1, 3)
+    nb_bin = 0
+    strides = (by * bz, bz, 1)
+    for a in range(3):
+        off_a = jnp.asarray(offs_np[:, a], jnp.int32)
+        nb_bin = nb_bin + jnp.mod(ijk[:, a:a + 1] + off_a[None], nvec[a]) * strides[a]
     nb_bin = jnp.where(active[:, None], nb_bin, nbin)
 
-    cand = table[nb_bin].reshape(N, 27 * cap)             # one row-gather
+    def compact_block(args):
+        nb_b, act_b, self_b = args                        # (n,27), (n,), (n,1)
+        cand = table[nb_b].reshape(nb_b.shape[0], 27 * cap)   # row-gather
+        valid = (cand != N) & (cand != self_b) & act_b[:, None]
+        # compact via top_k on a composite key: valid entries carry a high
+        # bit so they sort first; the id rides in the low bits (N < 2^21)
+        HIGH = jnp.int32(1 << 21)
+        key = jnp.where(valid, cand + HIGH, 0)
+        topk, _ = jax.lax.top_k(key, M)                   # (n, M)
+        return jnp.where(topk >= HIGH, topk - HIGH, N)
 
     self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
-    valid = (cand != N) & (cand != self_idx) & active[:, None]
-    # compact via top_k on a composite key: valid entries carry a high bit
-    # so they sort first; the id rides in the low bits (N < 2^21)
-    HIGH = jnp.int32(1 << 21)
-    key = jnp.where(valid, cand + HIGH, 0)
-    topk, _ = jax.lax.top_k(key, M)                       # (N, M)
-    return jnp.where(topk >= HIGH, topk - HIGH, N)
+    k = cfg.force_chunks
+    if k <= 1:
+        return compact_block((nb_bin, active, self_idx))
+    assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
+
+    def chunked(x):
+        return x.reshape((k, N // k) + x.shape[1:])
+
+    nbr = jax.lax.map(
+        compact_block, (chunked(nb_bin), chunked(active), chunked(self_idx))
+    )
+    return nbr.reshape(N, M)
 
 
 def neighbor_contact_forces(
