@@ -123,7 +123,7 @@ def exchange(
     from ..parallel.ctx import LOCAL
     ctx = ctx if ctx is not None else LOCAL
     periodic = bcs.periodic_axes()
-    curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx)
+    curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx, cfg)
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
         fn = (

@@ -253,7 +253,7 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
 
     def ex(fs, ps, dt) -> cp.CouplingResult:
         curl_u, grad_p, div_tau, ddt_u = cd._coupling_inputs(
-            fs, grid, bcs, tp.nu, dt, ctx
+            fs, grid, bcs, tp.nu, dt, ctx, ccfg
         )
         pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
 
