@@ -56,7 +56,8 @@ def main():
         solver="pimple",
         # lag_alpha: one-step-lagged alpha_f gather (documented O(dt)
         # approximation) folds the drag's alpha gather into the main pass
-        coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True),
+        coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                   stencil_shape="sphere2"),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),

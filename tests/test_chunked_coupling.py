@@ -51,3 +51,35 @@ def test_chunked_matches_unchunked():
     np.testing.assert_allclose(np.asarray(r4.u_source_drag),
                                np.asarray(r1.u_source_drag), rtol=1e-4, atol=1e-10)
     np.testing.assert_array_equal(np.asarray(r4.found), np.asarray(r1.found))
+
+
+def test_sphere2_stencil_close_to_cube27():
+    """The 19-cell support approximates the 27-cell one (both renormalize;
+    corners carry the smallest weights)."""
+    grid = Grid.cube(16, 0.016)
+    rng = np.random.RandomState(1)
+    N = 32
+    pf = cp.ParticleFields(
+        pos=jnp.asarray(rng.uniform(0.003, 0.013, (N, 3)), jnp.float32),
+        vel=jnp.zeros((N, 3)),
+        angvel=jnp.zeros((N, 3)),
+        radius=jnp.full((N,), 4e-4),
+        active=jnp.ones((N,), bool),
+    )
+    U = jnp.zeros((3,) + grid.shape).at[0].set(0.01)
+    z = jnp.zeros((3,) + grid.shape)
+    args = (pf, U, z, z, z, z, grid, PER, 1e-6, 1000.0, 1e-4)
+    r27 = cp.gaussian_coupling(*args, cp.CouplingConfig(gaussian=True))
+    r19 = cp.gaussian_coupling(
+        *args, cp.CouplingConfig(gaussian=True, stencil_shape="sphere2")
+    )
+    assert cp.stencil_offsets(
+        cp.CouplingConfig(stencil_shape="sphere2")
+    ).shape[0] == 19
+    np.testing.assert_allclose(
+        np.asarray(r19.force), np.asarray(r27.force), rtol=0.08, atol=1e-12
+    )
+    # same total deposited particle volume (weights normalized)
+    v27 = float(jnp.sum((1.0 - r27.alpha)))
+    v19 = float(jnp.sum((1.0 - r19.alpha)))
+    np.testing.assert_allclose(v19, v27, rtol=0.02)

@@ -282,7 +282,7 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
 
         if ccfg.gaussian:
             import numpy as _np
-            offsets = cp._stencil_offsets(ccfg.stencil_width)
+            offsets = cp.stencil_offsets(ccfg)
             anchor = base
         else:
             import numpy as _np
