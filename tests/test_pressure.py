@@ -29,7 +29,8 @@ def test_poisson_periodic_manufactured(solver):
     res = pr.solve_pressure(gamma_f, rhs, jnp.zeros(grid.shape), grid, bc, cfg)
     p = res.x - jnp.mean(res.x) + jnp.mean(p_exact)
     assert float(jnp.max(jnp.abs(p - p_exact))) < 1e-3
-    assert float(res.residual) <= 1e-7 * float(res.initial_residual) + 1e-20
+    # requested 1e-7 is floored to 3e-7 in f32 (see pcg tolerance floor)
+    assert float(res.residual) <= 3e-7 * float(res.initial_residual) + 1e-20
 
 
 def test_poisson_variable_gamma():

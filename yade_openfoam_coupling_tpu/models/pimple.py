@@ -38,7 +38,7 @@ from ..ops import pressure as pr
 from ..ops import stencil as st
 from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
 from .fields import FluidState
-from .piso import FluidBCs, PressureSolveInfo, _precond_bc_for
+from .piso import FluidBCs, PressureSolveInfo, _needs_adjust_phi, _precond_bc_for
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +127,9 @@ def pimple_step(
             phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))
             # prescribe wall fluxes (constrainHbyA + fixedFluxPressure role)
             phiHbyA = st.constrain_flux(phiHbyA, bcs.u, ctx)
+            if _needs_adjust_phi(bcs):
+                # `if (p.needReference()) adjustPhi(...)`, pEqn.H:20-23
+                phiHbyA = st.adjust_phi(phiHbyA, bcs.u, grid, ctx, ctx.sum)
 
             gamma_p = tuple(alpha_f[a] * rAU_f[a] for a in range(3))
             rhs = ddt_alpha + st.div_flux(

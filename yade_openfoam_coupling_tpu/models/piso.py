@@ -166,6 +166,9 @@ def piso_step(
         phiHbyA = st.constrain_flux(
             st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid), bcs.u, ctx
         )
+        if _needs_adjust_phi(bcs):
+            # inlet/outflow global mass balance (adjustPhi, icoFoamYade.C:108)
+            phiHbyA = st.adjust_phi(phiHbyA, bcs.u, grid, ctx, ctx.sum)
         gamma_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))
         rhs = st.div_flux(phiHbyA, grid)
         res = pr.solve_pressure(
@@ -184,6 +187,15 @@ def piso_step(
 
     new = fs._replace(u=u, p=p, phi=phi)
     return new, info
+
+
+def _needs_adjust_phi(bcs: FluidBCs) -> bool:
+    """adjustPhi applies when the pressure equation is singular (no fixed-
+    pressure outlet) AND adjustable (Neumann-u) outflow faces exist."""
+    from ..ops.grid import DIRICHLET, NEUMANN
+    p_fixed = any(f.kind == DIRICHLET for pair in bcs.p.faces for f in pair)
+    u_adjustable = any(f.kind == NEUMANN for pair in bcs.u.faces for f in pair)
+    return (not p_fixed) and u_adjustable
 
 
 def _precond_bc_for(p_bc: FieldBC, ctx) -> FieldBC:

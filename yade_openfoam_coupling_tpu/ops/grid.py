@@ -39,6 +39,8 @@ import numpy as np
 PERIODIC = "periodic"
 DIRICHLET = "dirichlet"   # fixedValue   (ghost = 2*value - interior)
 NEUMANN = "neumann"       # zeroGradient (ghost = interior)
+SLIP = "slip"             # vectors: zero normal component, free tangential
+#                           (scalars: same as zeroGradient)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +196,11 @@ def pad_axis(f: jnp.ndarray, axis: int, lo: FaceBC, hi: FaceBC, component: int |
             v = face.component(component) if component is not None else face.component(0)
             return 2.0 * v - interior
         if face.kind == NEUMANN:
+            return interior
+        if face.kind == SLIP:
+            # zero normal component at the face, zero-gradient tangential
+            if component is not None and component == axis:
+                return -interior
             return interior
         raise ValueError(f"unknown BC kind {face.kind!r}")
 

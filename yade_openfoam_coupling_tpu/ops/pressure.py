@@ -131,16 +131,19 @@ def pcg(
     # into f32 breakdown on the (semi-definite) operator.
     bnorm = jnp.sqrt(gdot(b, b))
     ref = jnp.maximum(rnorm0, bnorm)
+    # f32 can't realize relative residuals much below machine epsilon; a
+    # tighter request makes CG iterate past stagnation into instability
+    tol = max(tol, 3e-7) if b.dtype == jnp.float32 else tol
 
     def converged(rnorm):
         return jnp.logical_or(rnorm <= tol * ref, rnorm <= atol)
 
     def cond(state):
-        x, r, z, p, rz, rnorm, it, done = state
+        x, r, z, p, rz, rnorm, best, it, done = state
         return jnp.logical_and(it < maxiter, jnp.logical_not(done))
 
     def body(state):
-        x, r, z, p, rz, rnorm, it, done = state
+        x, r, z, p, rz, rnorm, best, it, done = state
         Ap = apply_A(p)
         pAp = gdot(p, Ap)
         # Breakdown guard: the Poisson operator is negative semi-definite,
@@ -155,11 +158,16 @@ def pcg(
         beta = jnp.where(breakdown, 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz))
         p = z + beta * p
         rnorm = jnp.sqrt(gdot(r, r))
-        done = jnp.logical_or(converged(rnorm), breakdown)
-        return (x, r, z, p, rz_new, rnorm, it + 1, done)
+        # Divergence guard: in f32 the residual can grow after stagnating
+        # (loss of orthogonality); 4x above the best seen means further
+        # iterations only amplify noise.
+        diverging = rnorm > 4.0 * best
+        best = jnp.minimum(best, rnorm)
+        done = converged(rnorm) | breakdown | diverging
+        return (x, r, z, p, rz_new, rnorm, best, it + 1, done)
 
-    state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0), converged(rnorm0))
-    x, r, z, p, rz, rnorm, it, done = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, rz0, rnorm0, rnorm0, jnp.int32(0), converged(rnorm0))
+    x, r, z, p, rz, rnorm, best, it, done = jax.lax.while_loop(cond, body, state)
     return CGResult(x, it, rnorm, rnorm0)
 
 

@@ -279,28 +279,118 @@ def constrain_flux(phi: Flux, u_bc: FieldBC, ctx=None) -> Flux:
     or mass leaks through walls whenever body forces act.
 
     Under sharding only the shards holding a global edge apply the pin."""
-    from ..ops.grid import DIRICHLET
+    from ..ops.grid import DIRICHLET, SLIP
+    def pin_value(face, a):
+        return 0.0 if face.kind == SLIP else face.component(a)
     out = list(phi)
     for a in range(3):
         lo, hi = u_bc.faces[a]
         f = out[a]
         n = f.shape[a]
-        if lo.kind == DIRICHLET:
-            plane = jnp.full_like(jax.lax.slice_in_dim(f, 0, 1, axis=a), lo.component(a))
+        if lo.kind in (DIRICHLET, SLIP):
+            plane = jnp.full_like(jax.lax.slice_in_dim(f, 0, 1, axis=a), pin_value(lo, a))
             if ctx is not None and ctx.mesh_axes[a] is not None:
                 at_edge = ctx.shard_index(a) == 0
                 plane = jnp.where(at_edge, plane, jax.lax.slice_in_dim(f, 0, 1, axis=a))
             f = jax.lax.concatenate(
                 [plane, jax.lax.slice_in_dim(f, 1, n, axis=a)], dimension=a
             )
-        if hi.kind == DIRICHLET:
-            plane = jnp.full_like(jax.lax.slice_in_dim(f, n - 1, n, axis=a), hi.component(a))
+        if hi.kind in (DIRICHLET, SLIP):
+            plane = jnp.full_like(jax.lax.slice_in_dim(f, n - 1, n, axis=a), pin_value(hi, a))
             if ctx is not None and ctx.mesh_axes[a] is not None:
                 at_edge = ctx.shard_index(a) == ctx.shard_count(a) - 1
                 plane = jnp.where(at_edge, plane, jax.lax.slice_in_dim(f, n - 1, n, axis=a))
             f = jax.lax.concatenate(
                 [jax.lax.slice_in_dim(f, 0, n - 1, axis=a), plane], dimension=a
             )
+        out[a] = f
+    return tuple(out)
+
+
+def adjust_phi(phi: Flux, u_bc: FieldBC, grid: Grid, ctx=None, reduce_sum=None) -> Flux:
+    """Global mass-balance correction for inlet/outflow cases — the role of
+    OpenFOAM's `adjustPhi` (`icoFoamYade.C:108`, `pEqn.H:22`): when the
+    pressure equation has the constant nullspace (no fixed-pressure outlet),
+    the net boundary flux must vanish. Dirichlet-u faces carry prescribed
+    flux (inlets/walls); Neumann-u faces are adjustable outflows and get
+    scaled so total outflow matches total inflow.
+
+    No-op when there are no Neumann-u faces (closed/periodic domains are
+    exactly balanced already)."""
+    from ..ops.grid import DIRICHLET, NEUMANN
+    reduce_sum = reduce_sum or (lambda x: x)
+    has_adjustable = any(
+        f.kind == NEUMANN for pair in u_bc.faces for f in pair
+    )
+    if not has_adjustable:
+        return phi
+
+    def face_areas(axis):
+        hs = [grid.spacing[a] for a in range(3) if a != axis]
+        return hs[0] * hs[1]
+
+    fixed_net = 0.0     # outward flux through non-adjustable faces
+    adj_out = 0.0       # outward flux through adjustable faces
+    planes = []         # (axis, side, kind)
+    for a in range(3):
+        lo, hi = u_bc.faces[a]
+        if u_bc.is_periodic(a):
+            continue
+        A = face_areas(a)
+        f = phi[a]
+        n = f.shape[a]
+        lo_plane = jax.lax.slice_in_dim(f, 0, 1, axis=a)
+        hi_plane = jax.lax.slice_in_dim(f, n - 1, n, axis=a)
+        lo_out = -jnp.sum(lo_plane) * A      # outward at lo = -phi
+        hi_out = jnp.sum(hi_plane) * A
+        if ctx is not None and ctx.mesh_axes[a] is not None:
+            lo_out = jnp.where(ctx.shard_index(a) == 0, lo_out, 0.0)
+            hi_out = jnp.where(ctx.shard_index(a) == ctx.shard_count(a) - 1,
+                               hi_out, 0.0)
+        for side, out in ((0, lo_out), (1, hi_out)):
+            kind = (lo if side == 0 else hi).kind
+            if kind == NEUMANN:
+                adj_out = adj_out + out
+                planes.append((a, side))
+            else:
+                fixed_net = fixed_net + out
+    fixed_net = reduce_sum(fixed_net)
+    adj_out = reduce_sum(adj_out)
+
+    # additive uniform correction: add the same outward face velocity to
+    # every adjustable face so the total outward flux vanishes. (OpenFOAM
+    # scales instead, which amplifies noise ~1/adj_out when the current
+    # outflow is small — the additive form is smooth and division-free.)
+    adj_area = 0.0
+    for a, side in planes:
+        hs = [grid.spacing[x] for x in range(3) if x != a]
+        nfaces = 1
+        for x in range(3):
+            if x != a:
+                nfaces *= grid.shape[x]
+        adj_area = adj_area + hs[0] * hs[1] * nfaces
+    scale = 1.0
+    additive = -(fixed_net + adj_out) / adj_area
+    out = list(phi)
+    for a, side in planes:
+        f = out[a]
+        n = f.shape[a]
+        if side == 0:
+            # outward at the lo face is -phi: additive outward => -additive
+            plane = jax.lax.slice_in_dim(f, 0, 1, axis=a) * scale - additive
+            if ctx is not None and ctx.mesh_axes[a] is not None:
+                plane = jnp.where(ctx.shard_index(a) == 0, plane,
+                                  jax.lax.slice_in_dim(f, 0, 1, axis=a))
+            f = jax.lax.concatenate(
+                [plane, jax.lax.slice_in_dim(f, 1, n, axis=a)], dimension=a)
+        else:
+            plane = jax.lax.slice_in_dim(f, n - 1, n, axis=a) * scale + additive
+            if ctx is not None and ctx.mesh_axes[a] is not None:
+                plane = jnp.where(
+                    ctx.shard_index(a) == ctx.shard_count(a) - 1, plane,
+                    jax.lax.slice_in_dim(f, n - 1, n, axis=a))
+            f = jax.lax.concatenate(
+                [jax.lax.slice_in_dim(f, 0, n - 1, axis=a), plane], dimension=a)
         out[a] = f
     return tuple(out)
 

@@ -70,11 +70,15 @@ class LocalCtx:
 LOCAL = LocalCtx()
 
 
-def _bc_ghost(face: FaceBC, interior: jnp.ndarray, component: Optional[int]) -> jnp.ndarray:
+def _bc_ghost(face: FaceBC, interior: jnp.ndarray, component: Optional[int],
+              axis: int) -> jnp.ndarray:
+    from ..ops.grid import SLIP
     if face.kind == DIRICHLET:
         v = face.component(component) if component is not None else face.component(0)
         return 2.0 * v - interior
-    if face.kind == NEUMANN:
+    if face.kind == SLIP and component is not None and component == axis:
+        return -interior
+    if face.kind == NEUMANN or face.kind == SLIP:
         return interior
     # PERIODIC at a *global* edge is handled by the ring ppermute itself.
     return interior
@@ -123,8 +127,8 @@ class ShardCtx:
         if periodic:
             g_lo, g_hi = from_left, from_right
         else:
-            g_lo = jnp.where(idx == 0, _bc_ghost(lo, first, component), from_left)
-            g_hi = jnp.where(idx == n_sh - 1, _bc_ghost(hi, last, component), from_right)
+            g_lo = jnp.where(idx == 0, _bc_ghost(lo, first, component, axis), from_left)
+            g_hi = jnp.where(idx == n_sh - 1, _bc_ghost(hi, last, component, axis), from_right)
         return jnp.concatenate([g_lo, f, g_hi], axis=axis)
 
     def pad_s(self, f: jnp.ndarray, bc: FieldBC) -> jnp.ndarray:
