@@ -65,8 +65,10 @@ def main():
             periodic=(True, True, False),
             wall_axes=(False, False, True),
             neighbor="cells",
-            cell_capacity=8,
-            max_neighbors=12,
+            # dilute benchmark (mean bin occupancy ~0.1): small capacity
+            # and neighbor count keep the gather row counts minimal
+            cell_capacity=4,
+            max_neighbors=8,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
