@@ -104,3 +104,20 @@ def test_chunked_equals_unchunked_in_full_step():
         np.asarray(s2.particles.pos), np.asarray(s1.particles.pos),
         rtol=1e-5, atol=1e-9,
     )
+
+
+def test_fluidized_bed_with_inlet():
+    """Real fluidization: upward inflow lifts the bed-average fluid flow."""
+    cfg, state, dt = cases.fluidized_bed(
+        n_particles=40, n=12, turbulence="laminar", inlet_velocity=0.02
+    )
+    run = cd.make_scan_fn(cfg, 8)
+    state, diags = run(state)
+    assert bool(jnp.all(jnp.isfinite(state.fluid.u)))
+    # mean vertical velocity approaches the superficial inlet velocity
+    wbar = float(jnp.mean(state.fluid.u[2]))
+    assert wbar > 0.005
+    # flux through the top equals flux through the bottom (mass balance)
+    q_bot = float(jnp.sum(state.fluid.phi[2][:, :, 0]))
+    q_top = float(jnp.sum(state.fluid.phi[2][:, :, -1]))
+    np.testing.assert_allclose(q_top, q_bot, rtol=5e-2)

@@ -85,17 +85,30 @@ def sedimentation_cloud(n_particles: int = 500, n: int = 32,
 
 
 def fluidized_bed(n_particles: int = 10_000, n: int = 48, seed: int = 0,
-                  turbulence: str = "kEqn") -> Tuple[cd.CaseConfig, SimState, float]:
+                  turbulence: str = "kEqn",
+                  inlet_velocity: float = 0.0) -> Tuple[cd.CaseConfig, SimState, float]:
     """Config #3: fluidized bed, PIMPLE 4-way + DPM turbulence closure.
 
-    Bed of particles at the bottom of a tall periodic-x/y channel; fluid
-    gravity + hydrostatic pressure; inlet fluidization is modelled with a
-    body-force bias (round-1 simplification of an inlet BC)."""
+    Bed of particles at the bottom of a periodic-x/y column under gravity.
+    `inlet_velocity > 0` drives real fluidization: fixed upward inflow at
+    z-lo, zero-gradient outflow at z-hi (mass-balanced via adjustPhi);
+    `inlet_velocity == 0` gives the closed settling column."""
+    from ..ops.grid import DIRICHLET, NEUMANN, FaceBC, FieldBC, PERIODIC
     grid = Grid.box((n // 2, n // 2, n), (0.01, 0.01, 0.02))
     radius = 1.5e-4
+    if inlet_velocity > 0.0:
+        p = FaceBC(PERIODIC)
+        bcs = FluidBCs(
+            u=FieldBC(((p, p), (p, p),
+                       (FaceBC(DIRICHLET, (0.0, 0.0, inlet_velocity)),
+                        FaceBC(NEUMANN)))),
+            p=FieldBC(((p, p), (p, p), (FaceBC(NEUMANN), FaceBC(NEUMANN)))),
+        )
+    else:
+        bcs = FluidBCs.channel_z()
     cfg = cd.CaseConfig(
         grid=grid,
-        bcs=FluidBCs.channel_z(),
+        bcs=bcs,
         transport=WATER,
         solver="pimple",
         coupling=cp.CouplingConfig(gaussian=True),
