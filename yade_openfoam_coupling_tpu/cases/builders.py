@@ -2,9 +2,8 @@
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..models import coupled as cd

@@ -26,7 +26,7 @@ Step order mirrors the reference loop bodies (`icoFoamYade.C:65-148`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops import coupling as cp
 from ..ops import dem as demod
 from ..ops import stencil as st
-from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from ..ops.grid import FieldBC, Grid
 from ..utils.diagnostics import TimeControls, continuity_errors, courant, new_dt
 from . import turbulence as turb_mod
 from .fields import (

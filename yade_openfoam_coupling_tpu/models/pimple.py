@@ -29,14 +29,14 @@ Re-derives `/root/reference/pimpleFoamYade/{pimpleFoamYade.C,UcEqn.H,pEqn.H}`
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import pressure as pr
 from ..ops import stencil as st
-from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from ..ops.grid import FieldBC, Grid
 from .fields import FluidState
 from .piso import FluidBCs, PressureSolveInfo, _needs_adjust_phi, _precond_bc_for
 

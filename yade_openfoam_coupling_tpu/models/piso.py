@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import pressure as pr
 from ..ops import stencil as st
-from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from ..ops.grid import FieldBC, Grid
 from .fields import FluidState
 
 

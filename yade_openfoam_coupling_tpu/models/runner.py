@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..utils import checkpoint as ckpt
 from ..utils.config import RunControls
 from ..utils.logging import RunLogger
-from .coupled import CaseConfig, coupled_step, initialize_state, make_scan_fn
+from .coupled import CaseConfig, make_scan_fn
 from .fields import SimState
 
 

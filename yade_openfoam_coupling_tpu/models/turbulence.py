@@ -19,14 +19,12 @@ Standard model constants follow the OpenFOAM defaults.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import stencil as st
-from ..ops.grid import FieldBC, Grid, pad_scalar, pad_vector
+from ..ops.grid import FieldBC, Grid
 from .fields import FluidState, TurbulenceState
 from .piso import FluidBCs
 

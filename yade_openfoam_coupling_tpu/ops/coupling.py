@@ -47,8 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .grid import FieldBC, Grid
-from .stencil import Flux
+from .grid import Grid
 
 # Matches the reference's Gaussian support radius: interpRange = 4 * V^(1/3)
 # (`FoamYade.C:69`) and sigma = 0.4246 * interpRange (`FoamYade.C:70`,

@@ -28,7 +28,6 @@ implementation serve both the single-chip and the ICI-sharded paths.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -25,14 +25,13 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .grid import FieldBC, Grid, pad_scalar
-from .stencil import Flux, face_interp, laplacian_facegamma_padded
+from .stencil import Flux, laplacian_facegamma_padded
 
 PadFn = Callable[[jnp.ndarray], jnp.ndarray]
 ReduceFn = Callable[[jnp.ndarray], jnp.ndarray]

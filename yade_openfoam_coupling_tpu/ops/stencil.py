@@ -26,7 +26,7 @@ face-normal values on x/y/z faces (``(nx+1,ny,nz)`` etc.).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

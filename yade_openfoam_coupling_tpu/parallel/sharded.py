@@ -27,8 +27,7 @@ particle<->grid routing is a sparse bbox-intersection all-to-all with per
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

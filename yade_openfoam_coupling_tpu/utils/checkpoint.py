@@ -27,12 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.fields import (
-    FluidState,
-    ParticleState,
-    SimState,
-    TurbulenceState,
-)
+from ..models.fields import SimState
 
 _MANIFEST = "manifest.json"
 

@@ -11,10 +11,6 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Optional
-
-import numpy as np
-
 
 class RunLogger:
     def __init__(self, every: int = 1, stream=None):
