@@ -99,7 +99,7 @@ def test_wall_bounce_restitution():
     dt = dem.critical_dt(r, cfg.params)
     nsub = 2000
     hydro = dem.DEMForces(jnp.zeros((1, 3)), jnp.zeros((1, 3)))
-    pos, vel, ang = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+    pos, vel, ang, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
                                      dt, nsub, r)
     vz = float(vel[0, 2])
     assert vz > 0.0, "did not rebound"
@@ -122,7 +122,7 @@ def test_two_sphere_collision_momentum():
     dt = dem.critical_dt(r, cfg.params)
     hydro = dem.DEMForces(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
     p0 = float(jnp.sum(vel[:, 0]))
-    pos, vel, ang = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+    pos, vel, ang, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
                                      dt, 3000, r)
     p1 = float(jnp.sum(vel[:, 0]))
     np.testing.assert_allclose(p1, p0, rtol=1e-3)
@@ -141,7 +141,7 @@ def test_gravity_free_fall():
     act = jnp.ones(1, bool)
     hydro = dem.DEMForces(jnp.zeros((1, 3)), jnp.zeros((1, 3)))
     T, n = 0.5, 500
-    pos, vel, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+    pos, vel, _, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
                                    T / n, n, 0.01)
     np.testing.assert_allclose(float(vel[0, 2]), -9.81 * T, rtol=1e-4)
     np.testing.assert_allclose(float(pos[0, 2]), 8.0 - 0.5 * 9.81 * T ** 2, rtol=1e-3)
@@ -156,7 +156,7 @@ def test_inactive_padding_inert():
     rad = jnp.array([0.01, 0.01])
     act = jnp.array([True, False])
     hydro = dem.DEMForces(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
-    pos2, vel2, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+    pos2, vel2, _, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
                                      1e-4, 10, 0.01)
     # inactive particle must not move
     np.testing.assert_allclose(np.asarray(pos2[1]), np.asarray(pos[1]), atol=1e-8)

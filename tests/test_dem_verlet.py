@@ -75,7 +75,7 @@ def test_substeps_with_verlet_list_bounce():
     dt = dem.critical_dt(r, cfg.params)
     hydro = dem.DEMForces(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
     p0 = float(jnp.sum(vel[:, 0]))
-    pos, vel, ang = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+    pos, vel, ang, _ = dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
                                      dt, 3000, r)
     np.testing.assert_allclose(float(jnp.sum(vel[:, 0])), p0, rtol=1e-3)
     assert float(vel[1, 0]) > 0.3

@@ -28,3 +28,29 @@ def test_pallas_laplacian_matches_jax(bc_kind):
     got = laplacian_facegamma_pallas(gamma_f, pp, grid, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_solve_pressure_use_pallas_matches():
+    """The use_pallas production path (interpret mode off-TPU) must solve
+    to the same answer as the pure-JAX matvec."""
+    from yade_openfoam_coupling_tpu.ops import pressure as pr
+
+    grid = g.Grid.cube(16, 1.0)
+    bc = g.FieldBC.uniform(g.NEUMANN)
+    gamma = 1.0 + 0.5 * jax.random.uniform(jax.random.PRNGKey(1), grid.shape)
+    gamma_f = st.face_interp(gamma, g.FieldBC.uniform(g.NEUMANN), grid)
+    rhs = jax.random.normal(jax.random.PRNGKey(2), grid.shape)
+    rhs = rhs - jnp.mean(rhs)
+
+    base = pr.solve_pressure(
+        gamma_f, rhs, jnp.zeros_like(rhs), grid, bc,
+        pr.PressureSolverConfig(solver="mgpcg", tol=1e-6, maxiter=100),
+    )
+    pal = pr.solve_pressure(
+        gamma_f, rhs, jnp.zeros_like(rhs), grid, bc,
+        pr.PressureSolverConfig(solver="mgpcg", tol=1e-6, maxiter=100,
+                                use_pallas=True),
+    )
+    np.testing.assert_allclose(np.asarray(pal.x), np.asarray(base.x),
+                               rtol=1e-3, atol=1e-5)
+    assert abs(int(pal.iters) - int(base.iters)) <= 2

@@ -48,6 +48,7 @@ def _settling_cfg():
         ),
         piso=PISOConfig(n_correctors=1, pressure=_PCFG),
         n_dem_substeps=4,
+        r_max=50e-6,
     )
 
 
@@ -104,10 +105,10 @@ def test_point_force_sharded_matches_single():
     s1, d1 = _run_single(cfg, state, n)
     s8, d8 = _run_sharded(cfg, state, n)
 
-    np.testing.assert_allclose(
-        np.asarray(s8.particles.vel), np.asarray(s1.particles.vel),
-        rtol=1e-3, atol=1e-9,
-    )
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["vel"], p1["vel"], rtol=1e-3, atol=1e-9)
     np.testing.assert_allclose(
         np.asarray(s8.fluid.u), np.asarray(s1.fluid.u), atol=5e-7,
     )
@@ -127,15 +128,53 @@ def test_gaussian_4way_sharded_matches_single():
         np.asarray(s8.fluid.alpha), np.asarray(s1.fluid.alpha),
         rtol=1e-4, atol=1e-6,
     )
-    np.testing.assert_allclose(
-        np.asarray(s8.particles.pos), np.asarray(s1.particles.pos),
-        rtol=1e-4, atol=1e-8,
-    )
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-8)
     np.testing.assert_allclose(
         np.asarray(s8.fluid.u), np.asarray(s1.fluid.u),
         rtol=1e-2, atol=1e-5,
     )
     assert int(d8.n_found[-1]) == 24
+    assert int(d8.n_shard_overflow[-1]) == 0
+
+
+def test_migration_across_slabs_matches_single():
+    """Particles driven across slab boundaries (the ring-migration path)
+    must match the single-device run, tracked by pid."""
+    from yade_openfoam_coupling_tpu.models.fields import ParticleState
+
+    cfg = _gaussian_cfg()
+    # straddle the x slab boundaries (slabs are 2 cells = 2 mm wide) with
+    # strong +-x velocities so several particles hop shards within 6 steps
+    pos = np.array([
+        [1.9e-3, 8e-3, 8e-3], [2.1e-3, 5e-3, 9e-3],
+        [7.95e-3, 8e-3, 8e-3], [8.05e-3, 4e-3, 10e-3],
+        [13.9e-3, 6e-3, 7e-3], [15.9e-3, 7e-3, 8e-3],  # wraps periodic x
+        [0.1e-3, 9e-3, 9e-3],
+        [5.0e-3, 5.0e-3, 8e-3],
+    ])
+    vel = np.zeros((8, 3), np.float32)
+    vel[:, 0] = [0.4, -0.4, 0.4, -0.4, 0.4, 0.4, -0.4, 0.0]
+    state = _initial_state(cfg, pos, 4e-4)
+    ps = state.particles._replace(vel=jnp.asarray(vel))
+    state = state._replace(particles=ps)
+
+    n = 6
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    # particles moved ~0.24 mm in x: at least the straddlers changed slab.
+    # atol: f32 halo/deposit reordering noise accumulated over 6 steps
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=2e-6)
+    np.testing.assert_allclose(p8["vel"], p1["vel"], rtol=1e-3, atol=1e-5)
+    assert int(d8.n_shard_overflow[-1]) == 0
+    # everyone remains coupled at the end (settled in their owner slabs)
+    assert int(d8.n_found[-1]) == 8
 
 
 def test_halo_pad_matches_bc_pad():

@@ -88,3 +88,47 @@ def test_unknown_model_raises():
     with pytest.raises(ValueError):
         tb.correct(make_turbulence_state(grid), fs, grid, FluidBCs.periodic(),
                    1e-6, 1e-3, tb.TurbulenceConfig(model="bogus"))
+
+
+def test_kepsilon_wall_functions():
+    """Wall-adjacent cells get the standard high-Re treatment:
+    eps = Cmu^{3/4} k^{3/2}/(kappa y) and the nutk log-law value."""
+    grid = Grid.cube(12, 0.12)           # h = 1 cm
+    bcs = FluidBCs.channel_z()           # walls at z lo/hi
+    fs = shear_state(grid, rate=10.0)
+    cfg = tb.TurbulenceConfig(model="kEpsilon", wall_functions=True)
+    k0, e0 = 1e-2, 1e-2
+    t0 = make_turbulence_state(grid, k0=k0, eps0=e0)
+    t0 = t0._replace(nut=jnp.full(grid.shape, 1e-4))
+    nu = 1e-6
+    t = tb.correct(t0, fs, grid, bcs, nu, 1e-4, cfg)
+
+    eps = np.asarray(t.epsilon)
+    nut = np.asarray(t.nut)
+    k = np.asarray(t.k)
+    y = 0.5 * grid.spacing[2]
+    # wall layer (z=0): epsilonWallFunction value from the UPDATED k
+    expect_eps = cfg.c_mu ** 0.75 * k[:, :, 0] ** 1.5 / (cfg.kappa * y)
+    np.testing.assert_allclose(eps[:, :, 0], expect_eps, rtol=1e-4)
+    # nutk log-law value (y+ ~ cmu^{1/4} sqrt(k) y / nu >> 11 here)
+    u_tau = cfg.c_mu ** 0.25 * np.sqrt(k[:, :, 0])
+    y_plus = u_tau * y / nu
+    assert (y_plus > 11).all()
+    expect_nut = nu * (y_plus * cfg.kappa / np.log(cfg.e_wall * y_plus) - 1.0)
+    np.testing.assert_allclose(nut[:, :, 0], expect_nut, rtol=1e-3)
+    # interior cells untouched by the wall override (eps from transport)
+    assert not np.allclose(eps[:, :, 5], expect_eps, rtol=1e-2)
+
+
+def test_kepsilon_wall_functions_off_matches_plain():
+    grid = Grid.cube(8, 0.08)
+    bcs = FluidBCs.channel_z()
+    fs = shear_state(grid, rate=1.0)
+    t0 = make_turbulence_state(grid, k0=1e-3, eps0=1e-3)
+    a = tb.correct(t0, fs, grid, bcs, 1e-6, 1e-4,
+                   tb.TurbulenceConfig(model="kEpsilon", wall_functions=False))
+    b = tb.correct(t0, fs, grid, bcs, 1e-6, 1e-4,
+                   tb.TurbulenceConfig(model="kEpsilon", wall_functions=True))
+    # interior identical; only the wall layer differs
+    np.testing.assert_allclose(np.asarray(a.nut)[:, :, 2:-2],
+                               np.asarray(b.nut)[:, :, 2:-2], rtol=1e-6)

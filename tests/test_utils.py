@@ -104,7 +104,8 @@ def test_load_case(tmp_path):
     assert cfg.transport.rho_p == 2650
     assert cfg.transport.rho_f == 998
     assert cfg.turbulence.model == "kEpsilon"
-    assert cfg.pimple.pressure.tol == 1e-7
+    # fvSolution 'tolerance' is absolute in OpenFOAM -> maps to abs_tol
+    assert cfg.pimple.pressure.abs_tol == 1e-7
     assert cfg.piso.n_correctors == 3
     assert cfg.pimple.n_outer == 2
     assert cfg.gravity_fluid == (0.0, 0.0, -9.81)

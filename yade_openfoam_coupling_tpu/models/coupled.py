@@ -126,11 +126,13 @@ def exchange(
     curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx, cfg)
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
-        fn = (
-            cp.gaussian_coupling_chunked
-            if cfg.particle_chunks > 1
-            else cp.gaussian_coupling
-        )
+        if cfg.exchange == "slots":
+            from ..ops.coupling_slots import gaussian_coupling_slots
+            fn = gaussian_coupling_slots
+        elif cfg.particle_chunks > 1:
+            fn = cp.gaussian_coupling_chunked
+        else:
+            fn = cp.gaussian_coupling
         return fn(
             pf, fs.u, grad_p, div_tau, ddt_u, curl_u,
             grid, periodic, tp.nu, tp.rho_f, dt, cfg,
@@ -175,20 +177,32 @@ def coupled_step(
     cfg: CaseConfig,
     ctx=None,
     exchange_fn=None,
+    dem_fn=None,
 ) -> Tuple[SimState, StepDiagnostics]:
     """Advance the coupled system one fluid time step.
 
     `ctx` selects single-device / per-shard execution; `exchange_fn`
-    overrides the coupling exchange (the sharded path substitutes its
-    owner-shard + halo-reduction version, `parallel/sharded.py`)."""
+    overrides the coupling exchange and `dem_fn` the DEM substep driver
+    (the sharded path substitutes its owner-shard + halo-reduction exchange
+    and its ghost-refreshing DEM, `parallel/sharded.py` /
+    `parallel/particles.py`). Under particle sharding the per-particle
+    arrays hold only this shard's slab population."""
     from ..parallel.ctx import LOCAL
     ctx = ctx if ctx is not None else LOCAL
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     fs, ps, tb = state.fluid, state.particles, state.turb
 
-    # 1. Courant + adaptive dt
+    # 1. Courant + adaptive dt (capped by the explicit-diffusion bound —
+    #    the reference's fvm::laplacian is implicit and needs no cap;
+    #    nut is one step lagged, fine for a stability bound)
     co_mean, co_max = courant(fs.phi, grid, state.dt, ctx)
-    dt = new_dt(co_max, state.dt, cfg.time)
+    if cfg.time.adjust_time_step:
+        from ..utils.diagnostics import diffusive_dt_bound
+        nut_max = ctx.max(jnp.max(tb.nut)) if cfg.solver == "pimple" else 0.0
+        dt = new_dt(co_max, state.dt, cfg.time,
+                    dt_diff=diffusive_dt_bound(grid, tp.nu, nut_max))
+    else:
+        dt = state.dt
 
     # 2-3. coupling exchange
     if exchange_fn is None:
@@ -207,11 +221,14 @@ def coupled_step(
     # 4. DEM substeps (hydro force held constant over the fluid dt, as in
     #    the reference's once-per-fluid-step force send)
     dt_dem = dt / cfg.n_dem_substeps
-    pos, vel, angvel = demod.dem_substeps(
-        ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
-        demod.DEMForces(cres.force, cres.torque),
-        grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
-    )
+    hydro = demod.DEMForces(cres.force, cres.torque)
+    if dem_fn is None:
+        pos, vel, angvel, n_overflow = demod.dem_substeps(
+            ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
+            hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+        )
+    else:
+        pos, vel, angvel, n_overflow = dem_fn(ps, hydro, dt_dem)
     ps = ps._replace(pos=pos, vel=vel, angvel=angvel)
 
     # 5. fluid step
@@ -239,12 +256,18 @@ def coupled_step(
         p_iters=info.iters,
         p_initial_residual=info.initial_residual,
         p_final_residual=info.final_residual,
-        # `cres.found` is globally complete in both plumbings (the sharded
-        # exchange psums it), so no ctx reduction here
-        n_found=jnp.sum(cres.found.astype(jnp.int32)),
-        max_particle_speed=jnp.max(
+        # particle arrays hold only the local slab population under
+        # sharding, so per-particle counters reduce through the ctx
+        n_found=ctx.sum(jnp.sum(cres.found.astype(jnp.int32))),
+        max_particle_speed=ctx.max(jnp.max(
             jnp.where(ps.active, jnp.linalg.norm(ps.vel, axis=-1), 0.0)
-        ),
+        )),
+        # silently dropped DEM contacts are a correctness hazard, not a
+        # tuning detail (Yade's collider never drops) — surface the count
+        n_contact_overflow=ctx.sum(n_overflow),
+        n_coupling_overflow=ctx.sum(jnp.asarray(cres.n_overflow, jnp.int32)),
+        # migration/ghost buffer overflows; filled in by the sharded body
+        n_shard_overflow=jnp.int32(0),
     )
 
     new_state = SimState(

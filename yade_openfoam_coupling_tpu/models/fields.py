@@ -61,6 +61,11 @@ class ParticleState(NamedTuple):
     angvel: jnp.ndarray    # (N, 3)
     radius: jnp.ndarray    # (N,)
     active: jnp.ndarray    # (N,) bool
+    # stable particle identity (int32; -1 for capacity padding). Slot order
+    # is NOT stable once particles migrate between shards
+    # (`parallel/particles.py`), so cross-run comparisons key on pid — the
+    # same role as Yade's body ids in the reference's per-rank buffers.
+    pid: jnp.ndarray       # (N,)
 
     @property
     def n_capacity(self) -> int:
@@ -93,6 +98,9 @@ class StepDiagnostics(NamedTuple):
     p_final_residual: jnp.ndarray
     n_found: jnp.ndarray        # particles located in the domain
     max_particle_speed: jnp.ndarray
+    n_contact_overflow: jnp.ndarray  # DEM neighbor-list capacity drops (0 = exact)
+    n_coupling_overflow: jnp.ndarray  # slot-exchange capacity drops (0 = exact)
+    n_shard_overflow: jnp.ndarray    # particle migration/ghost buffer drops
 
 
 def make_fluid_state(grid: Grid, dtype=jnp.float32) -> FluidState:
@@ -140,7 +148,10 @@ def make_particle_state(
         else jnp.asarray(radius, dtype)
     )
     active = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(cap - n, bool)])
+    pid = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.full(cap - n, -1, jnp.int32)]
+    )
     return ParticleState(
         pos=pad2(pos), vel=pad2(vel), angvel=pad2(angvel),
-        radius=pad2(radius, 1e-6), active=active,
+        radius=pad2(radius, 1e-6), active=active, pid=pid,
     )

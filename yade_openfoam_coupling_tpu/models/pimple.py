@@ -19,11 +19,17 @@ Re-derives `/root/reference/pimpleFoamYade/{pimpleFoamYade.C,UcEqn.H,pEqn.H}`
       laplacian(alphacf*rAUcf, p) == ddt(alphac) + div(alphacf*phiHbyA)
   solved matrix-free by MG-PCG; flux and velocity reconstruction follow
   `pEqn.H:39-45`.
-* deliberate divergence: only the alpha-weighted Laplacian part of
-  divDevRhoReff is kept (the deviatoric transpose term of the
-  phase-incompressible stress is dropped; for incompressible flow it is a
-  gradient absorbed by p except where grad(alpha) is large — to be added
-  with the full Reff in a later round).
+* the FULL phase-incompressible stress `divDevRhoReff(Uc)` (`UcEqn.H:6`):
+  the alpha-weighted Laplacian PLUS the explicit deviatoric transpose term
+  div(alpha nu_eff dev2(grad(U)^T)) — a pure gradient absorbed by p for
+  incompressible single-phase flow, but a real force where grad(alpha) is
+  large (dense beds). Disable with `full_stress=False` for speed in dilute
+  cases.
+* equation under-relaxation (`UcEqn.relax()`, `UcEqn.H:12`, driven by
+  fvSolution `relaxationFactors`): the implicit diagonal is inflated to
+  A/lambda with the source anchored at the previous outer iterate so fixed
+  points are unchanged; p is relaxed between (non-final) outer iterations.
+  OpenFOAM skips relaxation on the final PIMPLE iteration; so do we.
 """
 
 from __future__ import annotations
@@ -50,6 +56,13 @@ class PIMPLEConfig:
     momentum_predictor: bool = False
     convection_scheme: str = "linear"
     pressure: pr.PressureSolverConfig = pr.PressureSolverConfig()
+    # full divDevRhoReff: include the explicit dev2-transpose stress term
+    full_stress: bool = True
+    # fvSolution relaxationFactors: equations "U.*" / fields "p"
+    # (1.0 = no relaxation; applied on non-final outer iterations only,
+    # matching OpenFOAM's finalIter behavior)
+    relax_u: float = 1.0
+    relax_p: float = 1.0
 
 
 _NEU = FieldBC.uniform("neumann")
@@ -94,9 +107,15 @@ def pimple_step(
         precond_bc = _precond_bc_for(bcs.p, ctx)
 
     for _outer in range(cfg.n_outer):
+        final = _outer == cfg.n_outer - 1
         up = ctx.pad_v(u, bcs.u)
         conv = st.div_phi_vector_padded(phi_alpha, up, grid, cfg.convection_scheme)
         visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
+        if cfg.full_stress:
+            # the dev2(T(grad U)) half of divDevRhoReff (UcEqn.H:6)
+            G = st.grad_vector_padded(up, grid)
+            C = st.dev2_transpose_stress(G, alpha * nu_eff)
+            visc = visc + st.div_tensor(C, grid, lambda f: ctx.pad_s(f, _NEU))
 
         # fvm::ddt(alphac, Uc): (alpha^{n+1} u^{n+1} - alpha^n u^n)/dt ->
         # diagonal alpha^{n+1}/dt, source alpha^n u^n/dt. The source MUST
@@ -106,6 +125,12 @@ def pimple_step(
         # unstable for diffusion.
         A = alpha / dt - sp_cont - fs.u_source_drag
         H = alpha_old * fs.u / dt - conv + visc
+        if cfg.relax_u < 1.0 and not final:
+            # UcEqn.relax(): inflate the diagonal, anchor the extra source
+            # at the current outer iterate (fixed points unchanged)
+            lam = cfg.relax_u
+            H = H + ((1.0 - lam) / lam) * A[None] * u
+            A = A / lam
         rAU = 1.0 / A
         HbyA = rAU[None] * H
         rAU_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))  # rAUcf ("Dp")
@@ -122,6 +147,7 @@ def pimple_step(
                 tuple(phic_forces[a] / rAU_f[a] - snp[a] for a in range(3))
             )
 
+        p_outer = p
         for _corr in range(cfg.n_correctors):
             phiHbyA = st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid)
             phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))
@@ -150,6 +176,11 @@ def pimple_step(
             u = HbyA + rAU[None] * st.reconstruct(
                 tuple((phic_forces[a] - pflux_over_alpha[a]) / rAU_f[a] for a in range(3))
             )
+        if cfg.relax_p < 1.0 and not final:
+            # p.relax(): blend toward the previous outer iterate (flux and
+            # velocity above already used the unrelaxed solve, as OpenFOAM
+            # does before relaxing)
+            p = p_outer + cfg.relax_p * (p - p_outer)
         # refresh the alpha-weighted convective flux for the next outer pass
         phi_alpha = tuple(alpha_f[a] * phi[a] for a in range(3))
         div_phi_alpha = st.div_flux(phi_alpha, grid)

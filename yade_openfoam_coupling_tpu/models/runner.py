@@ -71,7 +71,11 @@ def run(
     logger = logger or RunLogger(every=chunk)
     scan = make_scan_fn(cfg, chunk)
     wrote = []
+    # independent schedules: time-dir output and full-state checkpoints each
+    # track their own next-due time (sharing one caused interval checkpoints
+    # to never fire — round-1 advisor finding)
     next_write = float(state.t) + controls.write_interval
+    next_checkpoint = float(state.t) + controls.write_interval
     steps = 0
 
     while float(state.t) < controls.end_time:
@@ -85,10 +89,11 @@ def run(
             check_finite(state, last)
 
         if case_dir is not None and float(state.t) >= next_write:
-            wrote.append(ckpt.write_time_dir(case_dir, state))
+            wrote.append(ckpt.write_time_dir(case_dir, state, grid=cfg.grid))
             next_write += controls.write_interval
-        if checkpoint_dir is not None and float(state.t) >= next_write:
+        if checkpoint_dir is not None and float(state.t) >= next_checkpoint:
             ckpt.save(checkpoint_dir, state)
+            next_checkpoint += controls.write_interval
 
     if checkpoint_dir is not None:
         ckpt.save(checkpoint_dir, state)

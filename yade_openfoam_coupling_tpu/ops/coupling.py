@@ -98,6 +98,14 @@ class CouplingConfig:
     # chunking bounds it at (N/chunks). Requires lag_alpha (single pass).
     # 1 = unchunked.
     particle_chunks: int = 1
+    # Exchange plumbing: 'sparse' (per-particle row gathers/scatters) or
+    # 'slots' (slot-table dense pipeline, `ops/coupling_slots.py` — matmuls
+    # and rolls instead of index rows; measured several-x faster at the
+    # tracked benchmark). Gaussian mode only.
+    exchange: str = "sparse"
+    # slots mode: max particles per fluid cell; overflow is counted and the
+    # overflowed particles are uncoupled (found=False) for the step
+    slot_capacity: int = 4
 
 
 class ParticleFields(NamedTuple):
@@ -125,6 +133,11 @@ class CouplingResult(NamedTuple):
     u_source: jnp.ndarray       # (3, nx, ny, nz) explicit momentum source
     u_source_drag: jnp.ndarray  # implicit drag coefficient field (<= 0)
     found: jnp.ndarray          # (N,) bool — particle inside the domain
+    # slot-table exchange only: particles beyond slot_capacity in one cell
+    # (uncoupled this step, found=False, surfaced in StepDiagnostics).
+    # plain-int default: a jnp scalar here would initialize the backend at
+    # import time
+    n_overflow: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +404,12 @@ class SupportOps(NamedTuple):
     gather_vec: "Callable"     # (3, grid) field -> (N,3)
     deposit_stack: "Callable"  # (N,S,C) values -> (C, grid) fields
     gather_stack: "Callable"   # (C, grid) fields -> (N,C)
+    # factored deposit: (N,C) per-particle values, implicitly weighted by
+    # the support weights — deposit_outer(v) == deposit_stack(w ⊗ v). All
+    # physics deposits have this form; the factorization is what lets the
+    # slot-table plumbing turn deposits into batched matmuls instead of
+    # materializing (N,S,C) products.
+    deposit_outer: "Callable"
 
 
 def _stack_channels(fields) -> jnp.ndarray:
@@ -463,6 +482,9 @@ def local_support_ops(sup: GaussianSupport, grid: Grid,
         gather_vec=lambda f: gather_vec(f, sup),
         deposit_stack=lambda v: deposit_stack(v, sup, grid, offsets),
         gather_stack=lambda fs: gather_stack(_stack_channels(fs), sup),
+        deposit_outer=lambda v: deposit_stack(
+            sup.weights[..., None] * v[:, None, :], sup, grid, offsets
+        ),
     )
 
 
@@ -525,15 +547,15 @@ def gaussian_physics(
         ddtu = g[:, c:c + 3]
         c += 3
 
-    wv = weights * vol[:, None]                                  # (N,S)
-    dep1 = jnp.concatenate(
-        [wv[..., None], wv[..., None] * pf.vel[:, None, :]], axis=-1
-    )
+    # factored deposit values: every deposit is w[n,s] * val[n,c]
+    val1 = jnp.concatenate(
+        [vol[:, None], vol[:, None] * pf.vel], axis=-1
+    )                                                            # (N,4)
 
     if not lag:
         # reference-exact ordering: deposit alpha/uParticle first
         # (setCellVolFraction, FoamYade.C:318-328), then gather alpha
-        out1 = ops.deposit_stack(dep1)                           # (4, grid)
+        out1 = ops.deposit_outer(val1)                           # (4, grid)
         pvol, up = out1[0], out1[1:4]
         alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
         u_particle = up / cell_volume
@@ -571,21 +593,17 @@ def gaussian_physics(
     #     deposits are independent of stage 1 and fuse into ONE scatter
     #     when alpha_f came from the lagged field. ------------------------
     src_part = -f_arch if f_am is None else -(f_arch + f_am)
-    dep2 = jnp.concatenate(
-        [
-            (-(coeff / rho_f))[:, None, None] * weights[..., None],
-            (src_part[:, None, :] * ooVrho) * weights[..., None],
-        ],
-        axis=-1,
-    )
+    val2 = jnp.concatenate(
+        [(-(coeff / rho_f))[:, None], src_part * ooVrho], axis=-1
+    )                                                            # (N,4)
     if lag:
-        out = ops.deposit_stack(jnp.concatenate([dep1, dep2], axis=-1))
+        out = ops.deposit_outer(jnp.concatenate([val1, val2], axis=-1))
         pvol, up = out[0], out[1:4]
         alpha = jnp.maximum(1.0 - pvol / cell_volume, cfg.alpha_min)
         u_particle = up / cell_volume
         out2 = out[4:]
     else:
-        out2 = ops.deposit_stack(dep2)
+        out2 = ops.deposit_outer(val2)
     u_source_drag = out2[0]
     u_source = u_source_drag[None] * u_particle + out2[1:4]
 
@@ -783,9 +801,7 @@ def point_force_physics(
     force = jnp.where(found[:, None], force, 0.0)
 
     ooVrho = 1.0 / (cell_volume * rho_f)
-    u_source = ops.deposit_stack(
-        (-force[:, None, :] * ooVrho) * weights[..., None]
-    )
+    u_source = ops.deposit_outer(-force * ooVrho)
 
     if cfg.use_torque:
         wf = 0.5 * curl_p

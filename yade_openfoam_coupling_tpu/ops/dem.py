@@ -29,6 +29,7 @@ import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,6 +86,11 @@ class DEMConfig:
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
+
+
+# dense-roll candidate table budget: (nbin, 27*cap) int32 must stay well
+# under HBM next to the state (300M elems = 1.2 GB)
+ROLL_CAND_ELEM_LIMIT = 300_000_000
 
 
 def particle_mass(radius: jnp.ndarray, rho_p: float) -> jnp.ndarray:
@@ -199,6 +205,19 @@ def _dem_cell_grid(grid: Grid, r_max: float) -> Tuple[Tuple[int, int, int], Tupl
     return tuple(dims), tuple(sizes)
 
 
+def _check_periodic_bins(dims, cfg: "DEMConfig") -> None:
+    """On a periodic axis with fewer than 3 bins the -1/0/+1 neighbor-bin
+    offsets wrap onto the same bin, so candidates appear 2-3x in the
+    27*cap list and pair forces double-count. Static shapes -> static check."""
+    for a in range(3):
+        if cfg.periodic[a] and dims[a] < 3:
+            raise ValueError(
+                f"periodic axis {a} has only {dims[a]} DEM hash bins "
+                f"(domain < 6*r_max*(1+skin)): neighbor bins would alias and "
+                f"double-count contacts. Use neighbor='allpairs' for this case."
+            )
+
+
 def cell_list_contact_forces(
     pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig, r_max: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -210,6 +229,7 @@ def cell_list_contact_forces(
     p = cfg.params
     cap = cfg.cell_capacity
     dims, sizes = _dem_cell_grid(grid, r_max)
+    _check_periodic_bins(dims, cfg)
     ncell = dims[0] * dims[1] * dims[2]
 
     origin = jnp.asarray(grid.origin, pos.dtype)
@@ -287,10 +307,29 @@ def cell_list_contact_forces(
 # Verlet neighbor lists: build once per fluid step, reuse across substeps
 # ---------------------------------------------------------------------------
 
+def effective_bin_size(grid: Grid, cfg: DEMConfig, r_max: float) -> float:
+    """The hash-bin size `build_neighbor_list` actually uses: the Verlet
+    2*r_max*(1+skin) sizing, enlarged when the bin count would exceed
+    `max_bins` (callers sizing ghost zones must match this)."""
+    bin_size = 2.0 * r_max * (1.0 + cfg.skin)
+    vol = grid.lengths[0] * grid.lengths[1] * grid.lengths[2]
+    if vol / bin_size ** 3 > cfg.max_bins:
+        bin_size = float(np.cbrt(vol / cfg.max_bins))
+    return bin_size
+
+
 def build_neighbor_list(
     pos, active, grid: Grid, cfg: DEMConfig, r_max: float,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """(N, max_neighbors) int32 candidate indices (N = empty slot).
+
+    With ``return_overflow`` also returns an int32 scalar counting silently
+    dropped candidates this build: particles beyond ``cell_capacity`` in
+    their hash bin plus per-particle candidates truncated by the
+    ``max_neighbors`` top_k compaction. Yade's collider never drops
+    contacts; a nonzero count here means capacities need raising
+    (surfaced in `StepDiagnostics.n_contact_overflow`).
 
     TPU-shaped pipeline (every stage chosen from measured v5e costs): one
     N-row scatter bins particles into a (nbin+1, cap) slot table (the
@@ -305,16 +344,14 @@ def build_neighbor_list(
     cap = cfg.cell_capacity
     M = cfg.max_neighbors
     assert N < (1 << 21), "top_k composite key supports < 2M particles"
-    bin_size = 2.0 * r_max * (1.0 + cfg.skin)
-    vol = grid.lengths[0] * grid.lengths[1] * grid.lengths[2]
-    if vol / bin_size ** 3 > cfg.max_bins:
-        bin_size = float(np.cbrt(vol / cfg.max_bins))
+    bin_size = effective_bin_size(grid, cfg, r_max)
     dims, sizes = [], []
     for a in range(3):
         L = grid.lengths[a]
         n = max(1, int(np.floor(L / max(bin_size, 1e-12))))
         dims.append(n)
         sizes.append(L / n)
+    _check_periodic_bins(dims, cfg)
     bx, by, bz = dims
     nbin = bx * by * bz
 
@@ -325,54 +362,108 @@ def build_neighbor_list(
     bin_of = ijk[:, 0] * (by * bz) + ijk[:, 1] * bz + ijk[:, 2]
     bin_of = jnp.where(active, bin_of, nbin)
 
-    # fill table slots: rank within bin via sorted search
+    # rank within bin via sorted search
     order = jnp.argsort(bin_of)
     bin_sorted = bin_of[order]
     rank = jnp.arange(N) - jnp.searchsorted(bin_sorted, bin_sorted, side="left")
-    table = jnp.full((nbin + 1) * cap, N, jnp.int32)
-    slot = jnp.clip(bin_sorted, 0, nbin) * cap + jnp.minimum(rank, cap - 1)
     keep = rank < cap
-    table = table.at[jnp.where(keep, slot, (nbin + 1) * cap - 1)].set(
-        jnp.where(keep, order.astype(jnp.int32), N)
-    ).reshape(nbin + 1, cap)
 
-    # neighbor bin ids per axis (wrap everywhere; wall-axis wrap candidates
-    # are rejected later by the distance test). Per-axis (N,27) arrays — a
-    # (N,27,3) stack would be lane-padded ~40x.
     offs_np = np.stack(
         np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
     ).reshape(-1, 3)
-    nb_bin = 0
-    strides = (by * bz, bz, 1)
-    for a in range(3):
-        off_a = jnp.asarray(offs_np[:, a], jnp.int32)
-        nb_bin = nb_bin + jnp.mod(ijk[:, a:a + 1] + off_a[None], nvec[a]) * strides[a]
-    nb_bin = jnp.where(active[:, None], nb_bin, nbin)
+
+    # bin-capacity drops (slots beyond cap never enter the table)
+    n_bin_drop = jnp.sum(((rank >= cap) & (bin_sorted < nbin)).astype(jnp.int32))
+
+    # bin-major flat slot table (bin*cap + rank); ONE N-row scatter
+    slot = jnp.clip(bin_sorted, 0, nbin) * cap + jnp.minimum(rank, cap - 1)
+    table_flat = jnp.full((nbin + 1) * cap, N, jnp.int32)
+    table_flat = table_flat.at[jnp.where(keep, slot, (nbin + 1) * cap - 1)].set(
+        jnp.where(keep, order.astype(jnp.int32), N)
+    )
+
+    # Candidate fetch. Dense-roll path (kills the hot (N,27)-row bin
+    # gather, ~20 ms at the 100k benchmark): build a (nbin, 27*cap)
+    # candidate table with 27 static rolls — pure HBM streaming, no index
+    # rows — then ONE N-row gather pulls each particle's full candidate
+    # row. TPU-layout care: the bin table is viewed with cap FUSED into
+    # the minor axis, (bx, by, bz*cap), so z-rolls shift by dz*cap and no
+    # 2-D array with a tiny minor dim ever materializes (a (nbin, cap)
+    # layout lane-pads cap->128 = 32x; its 27 rolled copies OOM'd a 16 GB
+    # chip, and an explicit transpose gets rewritten by XLA into per-part
+    # padded transposes — measured, not hypothetical). The roll wrap
+    # matches the old mod-wrap semantics (wall-axis wraps are rejected by
+    # the minimum-image distance test). Falls back to the per-particle
+    # (N,27)-row gather when the dense table would blow the memory budget.
+    dense_elems = nbin * 27 * cap
+    use_dense = dense_elems <= ROLL_CAND_ELEM_LIMIT
+
+    if use_dense:
+        tbl_fused = table_flat[: nbin * cap].reshape(bx, by, bz * cap)
+        parts = []
+        for o in offs_np:
+            r = jnp.roll(
+                tbl_fused,
+                (-int(o[0]), -int(o[1]), -int(o[2]) * cap),
+                axis=(0, 1, 2),
+            )
+            parts.append(r.reshape(bx, by, bz, cap))      # free bitcast view
+        cand_tbl = jnp.concatenate(parts, axis=-1).reshape(nbin, 27 * cap)
+        cand_tbl = jnp.concatenate(
+            [cand_tbl, jnp.full((1, 27 * cap), N, jnp.int32)]
+        )
+        nb_bin = jnp.zeros((N, 27), jnp.int32)            # unused placeholder
+        table = None
+    else:
+        # (nbin+1, cap) row view (the 512 B/row lane padding is the
+        # deliberate budget here — PERF.md) + per-axis (N,27) neighbor-bin
+        # ids; a (N,27,3) stack would be lane-padded ~40x
+        table = table_flat.reshape(nbin + 1, cap)
+        nb_bin = 0
+        strides = (by * bz, bz, 1)
+        for a in range(3):
+            off_a = jnp.asarray(offs_np[:, a], jnp.int32)
+            nb_bin = nb_bin + jnp.mod(ijk[:, a:a + 1] + off_a[None], nvec[a]) * strides[a]
+        nb_bin = jnp.where(active[:, None], nb_bin, nbin)
 
     def compact_block(args):
-        nb_b, act_b, self_b = args                        # (n,27), (n,), (n,1)
-        cand = table[nb_b].reshape(nb_b.shape[0], 27 * cap)   # row-gather
+        bin_b, nb_b, act_b, self_b = args                 # (n,), (n,27), (n,), (n,1)
+        if use_dense:
+            cand = cand_tbl[bin_b]                        # (n, 27*cap) row-gather
+        else:
+            cand = table[nb_b].reshape(nb_b.shape[0], 27 * cap)
         valid = (cand != N) & (cand != self_b) & act_b[:, None]
         # compact via top_k on a composite key: valid entries carry a high
         # bit so they sort first; the id rides in the low bits (N < 2^21)
         HIGH = jnp.int32(1 << 21)
         key = jnp.where(valid, cand + HIGH, 0)
         topk, _ = jax.lax.top_k(key, M)                   # (n, M)
-        return jnp.where(topk >= HIGH, topk - HIGH, N)
+        trunc = jnp.sum(
+            jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - M, 0)
+        )
+        return jnp.where(topk >= HIGH, topk - HIGH, N), trunc
 
     self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    if use_dense:
+        nb_bin = jnp.zeros((N, 27), jnp.int32)            # unused placeholder
     k = cfg.force_chunks
     if k <= 1:
-        return compact_block((nb_bin, active, self_idx))
-    assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
+        nbr, trunc = compact_block((bin_of, nb_bin, active, self_idx))
+    else:
+        assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
 
-    def chunked(x):
-        return x.reshape((k, N // k) + x.shape[1:])
+        def chunked(x):
+            return x.reshape((k, N // k) + x.shape[1:])
 
-    nbr = jax.lax.map(
-        compact_block, (chunked(nb_bin), chunked(active), chunked(self_idx))
-    )
-    return nbr.reshape(N, M)
+        nbr, trunc = jax.lax.map(
+            compact_block,
+            (chunked(bin_of), chunked(nb_bin), chunked(active), chunked(self_idx)),
+        )
+        nbr = nbr.reshape(N, M)
+        trunc = jnp.sum(trunc)
+    if return_overflow:
+        return nbr, n_bin_drop + trunc
+    return nbr
 
 
 def neighbor_contact_forces(
@@ -517,7 +608,10 @@ def dem_substeps(
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
-    "Yade runs ceil(dt_fluid/dt_DEM) substeps per exchange")."""
+    "Yade runs ceil(dt_fluid/dt_DEM) substeps per exchange").
+
+    Returns (pos, vel, angvel, n_overflow): the last element counts
+    neighbor-list capacity drops this step (0 when exact)."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     inertia = particle_inertia(radius, p.rho_p)
@@ -576,17 +670,23 @@ def dem_substeps(
 
     def chunk(state, _):
         pos, vel, angvel = state
-        nbr = build_neighbor_list(pos, active, grid, cfg, r_max) if use_list else None
+        if use_list:
+            nbr, overflow = build_neighbor_list(
+                pos, active, grid, cfg, r_max, return_overflow=True
+            )
+        else:
+            nbr, overflow = None, jnp.int32(0)
         accel = make_accel(nbr, pos, vel, angvel)
         a0, aw0 = accel(pos, vel, angvel)
         (pos, vel, angvel, _, _), _ = jax.lax.scan(
             substep_body(accel), (pos, vel, angvel, a0, aw0), None, length=every
         )
-        return (pos, vel, angvel), None
+        return (pos, vel, angvel), overflow
 
-    (pos, vel, angvel), _ = jax.lax.scan(chunk, (pos, vel, angvel), None,
-                                         length=n_chunks)
-    return pos, vel, angvel
+    (pos, vel, angvel), overflows = jax.lax.scan(
+        chunk, (pos, vel, angvel), None, length=n_chunks
+    )
+    return pos, vel, angvel, jnp.max(overflows)
 
 
 def critical_dt(radius_min: float, params: ContactParams) -> float:

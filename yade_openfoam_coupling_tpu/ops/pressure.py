@@ -49,9 +49,29 @@ def _ident(x):
 # Operator and diagonal
 # ---------------------------------------------------------------------------
 
-def poisson_apply(p: jnp.ndarray, gamma_f: Flux, grid: Grid, pad: PadFn) -> jnp.ndarray:
-    """A(p) = div(gamma_f grad p)."""
-    return laplacian_facegamma_padded(gamma_f, pad(p), grid)
+def _pallas_mode() -> str:
+    """'tpu' (compiled kernel), 'interpret' (CPU test coverage) — resolved
+    once at trace time."""
+    import jax
+    return "tpu" if jax.default_backend() == "tpu" else "interpret"
+
+
+def poisson_apply(p: jnp.ndarray, gamma_f: Flux, grid: Grid, pad: PadFn,
+                  use_pallas: bool = False) -> jnp.ndarray:
+    """A(p) = div(gamma_f grad p).
+
+    With ``use_pallas`` the matvec runs as the fused Pallas kernel
+    (`pallas_stencil.laplacian_facegamma_pallas`) — one VMEM pass over p
+    and the three face-coefficient arrays instead of XLA's per-axis
+    slice/multiply/diff chains. Off-TPU it runs in interpret mode so the
+    flag is exercised by the CPU suite."""
+    pp = pad(p)
+    if use_pallas and min(p.shape) >= 8:
+        from .pallas_stencil import laplacian_facegamma_pallas
+        return laplacian_facegamma_pallas(
+            gamma_f, pp, grid, interpret=_pallas_mode() == "interpret"
+        )
+    return laplacian_facegamma_padded(gamma_f, pp, grid)
 
 
 def poisson_diag(gamma_f: Flux, grid: Grid, bc: Optional[FieldBC] = None) -> jnp.ndarray:
@@ -108,13 +128,21 @@ def pcg(
     reduce_sum: ReduceFn = _ident,
     tol: float = 1e-6,
     atol: float = 1e-30,
+    rel_tol: float = 0.0,
     maxiter: int = 500,
 ) -> CGResult:
     """Preconditioned CG with static shapes, jit/shard_map-safe.
 
-    Convergence test mirrors OpenFOAM's PCG: relative residual
-    |r|/|r0| < tol or absolute |r| < atol. `reduce_sum` must produce the
-    *global* sum when running per-shard (pass `lambda s: lax.psum(s, axes)`).
+    Convergence tests, mirroring OpenFOAM's PCG trio:
+    * |r| <= tol * max(|r0|, |b|) — our native relative test (the max guards
+      warm starts where |r0| is already tiny);
+    * |r| <= atol — absolute, maps fvSolution `tolerance` (OpenFOAM applies
+      it to a normFactor-scaled residual; we use the plain 2-norm —
+      documented divergence);
+    * |r| <= rel_tol * |r0| — OpenFOAM `relTol` per-solve early exit
+      (`fvSolution` relTol; 0 disables, as in OpenFOAM).
+    `reduce_sum` must produce the *global* sum when running per-shard
+    (pass `lambda s: lax.psum(s, axes)`).
     """
     M = precond if precond is not None else (lambda r: r)
 
@@ -135,7 +163,10 @@ def pcg(
     tol = max(tol, 3e-7) if b.dtype == jnp.float32 else tol
 
     def converged(rnorm):
-        return jnp.logical_or(rnorm <= tol * ref, rnorm <= atol)
+        ok = jnp.logical_or(rnorm <= tol * ref, rnorm <= atol)
+        if rel_tol > 0.0:
+            ok = jnp.logical_or(ok, rnorm <= rel_tol * rnorm0)
+        return ok
 
     def cond(state):
         x, r, z, p, rz, rnorm, best, it, done = state
@@ -239,6 +270,7 @@ def make_mg_preconditioner(
     grid: Grid,
     bc: FieldBC,
     cfg: MGConfig = MGConfig(),
+    use_pallas: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build a V-cycle preconditioner M^{-1} r for the face-gamma Poisson op.
 
@@ -261,7 +293,8 @@ def make_mg_preconditioner(
 
     def smooth(lv: int, x: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
         def body(_, x):
-            r = b - poisson_apply(x, gammas[lv], grids[lv], pads[lv])
+            r = b - poisson_apply(x, gammas[lv], grids[lv], pads[lv],
+                                  use_pallas=use_pallas)
             return x + cfg.omega * inv_diags[lv] * r
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -269,7 +302,8 @@ def make_mg_preconditioner(
         x = smooth(lv, jnp.zeros_like(b), b, cfg.pre_smooth)
         if lv == levels - 1:
             return smooth(lv, x, b, cfg.coarse_iters)
-        r = b - poisson_apply(x, gammas[lv], grids[lv], pads[lv])
+        r = b - poisson_apply(x, gammas[lv], grids[lv], pads[lv],
+                              use_pallas=use_pallas)
         e = vcycle(lv + 1, _restrict(r))
         x = x + _prolong(e)
         return smooth(lv, x, b, cfg.post_smooth)
@@ -286,10 +320,15 @@ class PressureSolverConfig:
     """Maps the fvSolution `p` sub-dictionary of the reference cases."""
 
     solver: str = "mgpcg"      # 'pcg' | 'mgpcg'
-    tol: float = 1e-6
-    rel_tol: float = 0.0       # OpenFOAM relTol — 0 to converge on tol
+    tol: float = 1e-6          # native relative tolerance (|r| vs max(|r0|,|b|))
+    rel_tol: float = 0.0       # OpenFOAM relTol: |r| <= rel_tol*|r0| early exit
+    abs_tol: float = 1e-30     # OpenFOAM 'tolerance' (absolute; normFactor
+    #                            scaling is a documented divergence)
     maxiter: int = 200
     mg: MGConfig = MGConfig()
+    # fused Pallas matvec for the CG/MG stencil applies (interpret mode
+    # off-TPU so CPU tests exercise the same path)
+    use_pallas: bool = False
 
 
 def solve_pressure(
@@ -323,7 +362,8 @@ def solve_pressure(
     # The ghost-cell operator is affine when Dirichlet values are nonzero;
     # CG needs a linear operator, so fold the constant A(0) into the RHS
     # (the matrix-free analog of OpenFOAM's boundary-coefficient source).
-    bc_const = poisson_apply(jnp.zeros_like(rhs), gamma_f, grid, pad)
+    bc_const = poisson_apply(jnp.zeros_like(rhs), gamma_f, grid, pad,
+                             use_pallas=cfg.use_pallas)
     rhs = rhs - bc_const
     hbc = bc.homogeneous()
 
@@ -336,7 +376,9 @@ def solve_pressure(
         mean_p0 = reduce_sum(jnp.sum(p0)) / ncells
         p0 = p0 - mean_p0
 
-    apply_A = lambda p: poisson_apply(p, gamma_f, grid, pad) - bc_const
+    apply_A = lambda p: poisson_apply(
+        p, gamma_f, grid, pad, use_pallas=cfg.use_pallas
+    ) - bc_const
 
     # Preconditioners act on the LOCAL block: under shard_map `rhs` is the
     # per-shard slab, so derive the preconditioner's grid from it (the MG
@@ -346,7 +388,8 @@ def solve_pressure(
     mg_grid = Grid(tuple(rhs.shape), grid.spacing, grid.origin)
     pbc = precond_bc if precond_bc is not None else hbc
     if cfg.solver == "mgpcg":
-        M = make_mg_preconditioner(gamma_f, mg_grid, pbc, cfg.mg)
+        M = make_mg_preconditioner(gamma_f, mg_grid, pbc, cfg.mg,
+                                   use_pallas=cfg.use_pallas)
     elif cfg.solver == "pcg":
         inv_diag = 1.0 / jnp.where(
             jnp.abs(d := poisson_diag(gamma_f, mg_grid, pbc)) < 1e-30, -1.0, d
@@ -358,7 +401,8 @@ def solve_pressure(
     res = pcg(
         apply_A, rhs, p0,
         precond=M, reduce_sum=reduce_sum,
-        tol=cfg.tol, maxiter=cfg.maxiter,
+        tol=cfg.tol, atol=cfg.abs_tol, rel_tol=cfg.rel_tol,
+        maxiter=cfg.maxiter,
     )
     x = res.x
     if nullspace:

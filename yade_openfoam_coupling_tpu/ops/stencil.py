@@ -256,6 +256,36 @@ def laplacian_gamma_vector_padded(gamma_f: Flux, up: jnp.ndarray, grid: Grid) ->
     return jnp.stack([laplacian_facegamma_padded(gamma_f, up[c], grid) for c in range(3)])
 
 
+def dev2_transpose_stress(G: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
+    """The explicit half of OpenFOAM's `divDevRhoReff` integrand:
+    C[i,j] = coeff * dev2(grad(U)^T)[i,j]
+           = coeff * (dU_j/dx_i - (2/3) div(U) delta_ij)
+    with G[i,j] = dU_i/dx_j and coeff a cell scalar (alpha * nu_eff for the
+    phase-incompressible stress, `pimpleFoamYade/UcEqn.H:6`)."""
+    div_u = G[0, 0] + G[1, 1] + G[2, 2]
+    C = jnp.swapaxes(G, 0, 1) - (2.0 / 3.0) * div_u * jnp.eye(3)[:, :, None, None, None]
+    return coeff * C
+
+
+def div_tensor(C: jnp.ndarray, grid: Grid, pad_s) -> jnp.ndarray:
+    """Cell-centred divergence of a cell-centred tensor:
+    out[i] = sum_j d C[i,j] / dx_j (central differences; ghost values from
+    `pad_s`, typically zero-gradient — standard for explicit deferred
+    stress corrections). Completes `divDevRhoReff` (`UcEqn.H:6`) whose
+    implicit Laplacian half is `laplacian_gamma_vector_padded`."""
+    out = []
+    for i in range(3):
+        s = 0.0
+        for j in range(3):
+            fp = _strip_other_axes(pad_s(C[i, j]), j)
+            n = fp.shape[j]
+            hi = jax.lax.slice_in_dim(fp, 2, n, axis=j)
+            lo = jax.lax.slice_in_dim(fp, 0, n - 2, axis=j)
+            s = s + (hi - lo) / (2.0 * grid.spacing[j])
+        out.append(s)
+    return jnp.stack(out)
+
+
 # ---------------------------------------------------------------------------
 # Reconstruction
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ particle<->grid routing is a sparse bbox-intersection all-to-all with per
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models import coupled as cd
 from ..models.fields import SimState, StepDiagnostics
 from ..ops import coupling as cp
-from ..ops.grid import DIRICHLET, FieldBC, Grid, PERIODIC
+from ..ops.grid import FieldBC, Grid, PERIODIC
 from .ctx import ShardCtx
 
 AXIS = "x"   # grid axis 0 is sharded over this mesh axis
@@ -47,66 +47,79 @@ AXIS = "x"   # grid axis 0 is sharded over this mesh axis
 # phi representation: (n+1)-face tuples <-> cell-indexed low faces
 # ---------------------------------------------------------------------------
 
-def faces_to_lo(phi) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop each axis's last face plane: phi_lo[a][...i...] = face i-1/2."""
-    return (phi[0][:-1], phi[1][:, :-1], phi[2][:, :, :-1])
+class LoFaces(NamedTuple):
+    """Sharding-friendly face-flux layout.
+
+    ``lo``: per axis, each cell's LOW face value — shape == grid.shape, so
+    it shards evenly in x-slabs. ``hi``: the three global top boundary
+    planes ((1,ny,nz), (nx,1,nz), (nx,ny,1)) carried verbatim so the
+    (n+1)-face tuples reconstruct EXACTLY — including SLIP walls (zero
+    normal flux) and adjustPhi-corrected NEUMANN outlet fluxes that a
+    BC-based re-derivation would corrupt. The x-plane is replicated across
+    shards (it is a (1,ny,nz) plane; its owner is the last shard)."""
+
+    lo: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    hi: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
-def _bc_face_value(bc: FieldBC, axis: int, hi_face, component: int):
-    lo, hi = bc.faces[axis]
-    if hi.kind == DIRICHLET:
-        return jnp.full_like(hi_face, hi.component(component))
-    # NEUMANN: zero-gradient -> copy the adjacent interior face value
-    return hi_face
+def faces_to_lo(phi) -> LoFaces:
+    """(n+1)-face tuples -> LoFaces (global, host/device side)."""
+    return LoFaces(
+        lo=(phi[0][:-1], phi[1][:, :-1], phi[2][:, :, :-1]),
+        hi=(phi[0][-1:], phi[1][:, -1:], phi[2][:, :, -1:]),
+    )
 
 
-def lo_to_faces_host(phi_lo, u_bc: FieldBC):
-    """Global (host-side) inverse of `faces_to_lo` — for checkpoint/compare
-    paths that need the (n+1)-face tuples back from a gathered state."""
+def lo_to_faces_host(phi_lo: LoFaces, u_bc: FieldBC = None):
+    """Global (host-side) inverse of `faces_to_lo` — exact: the top planes
+    are carried in the state, never re-derived from BCs."""
+    return tuple(
+        jnp.concatenate([phi_lo.lo[a], phi_lo.hi[a]], axis=a) for a in range(3)
+    )
+
+
+def lo_to_faces_local(phi_lo: LoFaces, u_bc: FieldBC, ctx: ShardCtx):
+    """Rebuild local (n_loc+1)-face tuples from the sharded LoFaces.
+
+    Along a sharded axis the missing top plane of interior shards is the
+    next shard's first low face (one ppermute); the LAST shard (and every
+    unsharded axis) uses the carried global top plane verbatim."""
     faces = []
     for a in range(3):
-        f = phi_lo[a]
-        first = lax.slice_in_dim(f, 0, 1, axis=a)
-        last = lax.slice_in_dim(f, f.shape[a] - 1, f.shape[a], axis=a)
-        if u_bc.is_periodic(a):
-            top = first
-        else:
-            top = _bc_face_value(u_bc, a, last, a)
-        faces.append(jnp.concatenate([f, top], axis=a))
-    return tuple(faces)
-
-
-def lo_to_faces_local(phi_lo, u_bc: FieldBC, ctx: ShardCtx):
-    """Rebuild local (n_loc+1)-face tuples from local low-face arrays.
-
-    The missing top plane per axis is: the next shard's first low face
-    (ppermute) on sharded axes; the wrapped first plane on periodic axes;
-    the BC face value at a global wall."""
-    faces = []
-    for a in range(3):
-        f = phi_lo[a]
-        first = lax.slice_in_dim(f, 0, 1, axis=a)
-        last = lax.slice_in_dim(f, f.shape[a] - 1, f.shape[a], axis=a)
+        f = phi_lo.lo[a]
+        hi = phi_lo.hi[a]
         name = ctx.mesh_axes[a]
-        periodic = u_bc.is_periodic(a)
         if name is None:
-            if periodic:
-                top = first
-            else:
-                top = _bc_face_value(u_bc, a, last, a)
+            top = hi
         else:
             n_sh = lax.axis_size(name)
             idx = lax.axis_index(name)
+            first = lax.slice_in_dim(f, 0, 1, axis=a)
             bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
             from_right = lax.ppermute(first, name, bwd)
-            if periodic:
-                top = from_right
-            else:
-                top = jnp.where(
-                    idx == n_sh - 1, _bc_face_value(u_bc, a, last, a), from_right
-                )
+            top = jnp.where(idx == n_sh - 1, hi, from_right)
         faces.append(jnp.concatenate([f, top], axis=a))
     return tuple(faces)
+
+
+def faces_to_lo_local(phi, ctx: ShardCtx) -> LoFaces:
+    """Per-shard inverse of `lo_to_faces_local`: split local (n_loc+1)-face
+    tuples back into the sharded LoFaces layout. Along a sharded axis the
+    global top plane lives on the last shard; replicate it with a psum of
+    the masked local top (each plane is owned by exactly one shard)."""
+    lo, hi = [], []
+    for a in range(3):
+        f = phi[a]
+        n = f.shape[a]
+        lo.append(lax.slice_in_dim(f, 0, n - 1, axis=a))
+        top = lax.slice_in_dim(f, n - 1, n, axis=a)
+        name = ctx.mesh_axes[a]
+        if name is not None:
+            n_sh = lax.axis_size(name)
+            idx = lax.axis_index(name)
+            top = lax.psum(jnp.where(idx == n_sh - 1, top, 0.0), name)
+        hi.append(top)
+    return LoFaces(lo=tuple(lo), hi=tuple(hi))
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +255,11 @@ def _sharded_support_ops(
     def gat_vec(field_local: jnp.ndarray) -> jnp.ndarray:
         return gat_stack([field_local])
 
-    return cp.SupportOps(dep, dep_vec, gat, gat_vec, dep_stack, gat_stack), w
+    def dep_outer(vals: jnp.ndarray) -> jnp.ndarray:
+        return dep_stack(w[..., None] * vals[:, None, :])
+
+    return cp.SupportOps(dep, dep_vec, gat, gat_vec, dep_stack, gat_stack,
+                         dep_outer), w
 
 
 def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
@@ -273,7 +290,11 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
                 ok_glob = ok_glob & (cells[a] >= 0) & (cells[a] < grid.shape[a])
         w_norm = cp.normalize_weights(w_raw, ok_glob)
 
-        # owner election: the shard holding the base cell
+        # owner test: the base cell must lie in this shard's slab. With
+        # sharded particle arrays this holds for every settled local
+        # particle; it masks in-transit particles (mid-migration, one ring
+        # hop per step) exactly like the reference's not-found handling
+        # (`FoamYade.C:229-231`).
         base, _ = cp.locate(pf.pos, grid)
         start = lax.axis_index(AXIS) * n_loc
         owner = validp & (base[:, 0] >= start) & (base[:, 0] < start + n_loc)
@@ -310,13 +331,10 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
                 dataclasses.replace(ccfg, use_torque=True),
             )
 
-        # complete per-particle results across shards (each particle owned
-        # by exactly one shard, so psum == select) — replaces the force
-        # return sends of FoamYade.C:487-535
-        force = lax.psum(res.force, AXIS)
-        torque = lax.psum(res.torque, AXIS)
-        found = lax.psum(res.found.astype(jnp.int32), AXIS) > 0
-        return res._replace(force=force, torque=torque, found=found)
+        # per-particle results are complete locally: the particle arrays are
+        # sharded, each local particle is computed by exactly this shard —
+        # the force-return sends of FoamYade.C:487-535 have no analog
+        return res
 
     return ex
 
@@ -326,16 +344,24 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
 # ---------------------------------------------------------------------------
 
 def state_specs(cfg: cd.CaseConfig):
-    """PartitionSpecs for a SimState whose phi is in lo-face form."""
+    """PartitionSpecs for a SimState whose phi is in lo-face form and whose
+    particle arrays are slab-sharded (axis 0 over the mesh — each shard
+    holds its own fixed-capacity slot population)."""
     fluid = dict(
         u=P(None, AXIS), u_old=P(None, AXIS), p=P(AXIS),
-        phi=(P(AXIS), P(AXIS), P(AXIS)),
+        phi=LoFaces(
+            lo=(P(AXIS), P(AXIS), P(AXIS)),
+            # top boundary planes: the x-plane (1,ny,nz) is replicated,
+            # y/z planes shard over x like the fields they bound
+            hi=(P(), P(AXIS), P(AXIS)),
+        ),
         alpha=P(AXIS), alpha_old=P(AXIS),
         u_source=P(None, AXIS), u_source_drag=P(AXIS), u_particle=P(None, AXIS),
     )
     from ..models.fields import FluidState, ParticleState, TurbulenceState
     fluid_spec = FluidState(**fluid)
-    part_spec = ParticleState(pos=P(), vel=P(), angvel=P(), radius=P(), active=P())
+    part_spec = ParticleState(pos=P(AXIS), vel=P(AXIS), angvel=P(AXIS),
+                              radius=P(AXIS), active=P(AXIS), pid=P(AXIS))
     turb_spec = TurbulenceState(k=P(AXIS), epsilon=P(AXIS), nut=P(AXIS))
     return SimState(
         fluid=fluid_spec, particles=part_spec, turb=turb_spec,
@@ -344,15 +370,86 @@ def state_specs(cfg: cd.CaseConfig):
 
 
 def diag_specs():
-    return StepDiagnostics(*([P()] * 9))
+    return StepDiagnostics(*([P()] * len(StepDiagnostics._fields)))
 
 
-def to_sharded_state(state: SimState, cfg: cd.CaseConfig, mesh: Mesh) -> SimState:
+def shard_particles_host(ps, cfg: cd.CaseConfig, n_sh: int, cap_loc: int = 0):
+    """Host-side slab rebinning of a ParticleState: returns a
+    (n_sh * cap_loc)-row state whose [s*cap_loc:(s+1)*cap_loc] block holds
+    shard s's slab population (active-masked padding elsewhere). The analog
+    of the reference's initial bbox-intersection routing
+    (`FoamYade.C:77-155`)."""
+    import numpy as np
+    from ..models.fields import ParticleState
+
+    pos = np.asarray(ps.pos)
+    act = np.asarray(ps.active)
+    nx = cfg.grid.shape[0]
+    assert nx % n_sh == 0
+    n_loc = nx // n_sh
+    hx = cfg.grid.spacing[0]
+    cellx = np.clip(
+        np.floor((pos[:, 0] - cfg.grid.origin[0]) / hx).astype(int), 0, nx - 1
+    )
+    slab = cellx // n_loc
+    counts = np.bincount(slab[act], minlength=n_sh)
+    if cap_loc <= 0:
+        cap_loc = max(16, int(2 * counts.max()) if counts.size else 16)
+
+    def alloc(a, fill=0.0):
+        out = np.full((n_sh, cap_loc) + a.shape[1:], fill, a.dtype)
+        return out
+
+    new = {
+        "pos": alloc(pos), "vel": alloc(np.asarray(ps.vel)),
+        "angvel": alloc(np.asarray(ps.angvel)),
+        "radius": alloc(np.asarray(ps.radius), 1e-6),
+        "active": np.zeros((n_sh, cap_loc), bool),
+        "pid": np.full((n_sh, cap_loc), -1, np.int32),
+    }
+    src = {"pos": pos, "vel": np.asarray(ps.vel),
+           "angvel": np.asarray(ps.angvel), "radius": np.asarray(ps.radius),
+           "active": act, "pid": np.asarray(ps.pid)}
+    for s in range(n_sh):
+        ids = np.where(act & (slab == s))[0]
+        if len(ids) > cap_loc:
+            raise ValueError(
+                f"shard {s} holds {len(ids)} particles > cap_loc={cap_loc}; "
+                f"raise shard capacity"
+            )
+        for k in new:
+            new[k][s, : len(ids)] = src[k][ids]
+    return ParticleState(**{
+        k: jnp.asarray(v.reshape((n_sh * cap_loc,) + v.shape[2:]))
+        for k, v in new.items()
+    })
+
+
+def particles_by_pid(ps):
+    """Host-side: active particles sorted by pid — the layout-independent
+    view for comparing sharded vs single-device runs."""
+    import numpy as np
+    act = np.asarray(ps.active)
+    pid = np.asarray(ps.pid)[act]
+    order = np.argsort(pid)
+    return {
+        "pid": pid[order],
+        "pos": np.asarray(ps.pos)[act][order],
+        "vel": np.asarray(ps.vel)[act][order],
+        "angvel": np.asarray(ps.angvel)[act][order],
+        "radius": np.asarray(ps.radius)[act][order],
+    }
+
+
+def to_sharded_state(state: SimState, cfg: cd.CaseConfig, mesh: Mesh,
+                     cap_loc: int = 0) -> SimState:
     """Convert a single-device SimState (face-tuple phi) into the sharded
-    lo-face layout and place it on the mesh."""
+    layout: lo-face phi + slab-binned particle slots; place on the mesh."""
     from jax.sharding import NamedSharding
+    n_sh = mesh.shape[AXIS]
     st_lo = state._replace(
-        fluid=state.fluid._replace(phi=faces_to_lo(state.fluid.phi))
+        fluid=state.fluid._replace(phi=faces_to_lo(state.fluid.phi)),
+        particles=shard_particles_host(state.particles, cfg, n_sh, cap_loc),
     )
     specs = state_specs(cfg)
     return jax.tree.map(
@@ -360,25 +457,60 @@ def to_sharded_state(state: SimState, cfg: cd.CaseConfig, mesh: Mesh) -> SimStat
     )
 
 
+def _make_dem_fn(cfg: cd.CaseConfig, geom):
+    """Per-shard DEM driver closure for `coupled_step`: ghost-refreshing
+    velocity-Verlet substeps on the local slot population."""
+    from . import particles as pp
+
+    def dem_fn(ps, hydro, dt_dem):
+        n_loc_cap = ps.pos.shape[0]
+        K_g = max(16, n_loc_cap // 2)
+        pos, vel, angvel, n_list, n_ghost = pp.dem_substeps_sharded(
+            ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
+            cfg.r_max, geom, K_g,
+        )
+        return pos, vel, angvel, n_list + n_ghost
+
+    return dem_fn
+
+
+def _one_sharded_step(state: SimState, cfg: cd.CaseConfig, ctx: ShardCtx,
+                      n_loc: int, ex, dem_fn, geom):
+    from . import particles as pp
+
+    faces = lo_to_faces_local(state.fluid.phi, cfg.bcs.u, ctx)
+    st8 = state._replace(fluid=state.fluid._replace(phi=faces))
+    new, diag = cd.coupled_step(st8, cfg, ctx=ctx, exchange_fn=ex,
+                                dem_fn=dem_fn)
+    # slab migration: one ring hop per step toward the owner shard
+    K_m = max(8, new.particles.pos.shape[0] // 4)
+    ps_new, n_mig = pp.migrate(new.particles, cfg.grid, geom, K_m)
+    diag = diag._replace(n_shard_overflow=lax.psum(n_mig, AXIS))
+    new = new._replace(
+        particles=ps_new,
+        fluid=new.fluid._replace(phi=faces_to_lo_local(new.fluid.phi, ctx)),
+    )
+    return new, diag
+
+
 def make_sharded_step(cfg: cd.CaseConfig, mesh: Mesh):
     """Build the jitted per-shard coupled step over `mesh` (1-D, axis 'x').
 
-    Grid requirement: cfg.grid.shape[0] divisible by mesh.shape['x']."""
+    Grid requirement: cfg.grid.shape[0] divisible by mesh.shape['x'].
+    Particle arrays must be in the slab-binned layout of
+    `to_sharded_state` / `shard_particles_host`."""
+    from .particles import SlabGeom
     n_sh = mesh.shape[AXIS]
     nx = cfg.grid.shape[0]
     assert nx % n_sh == 0, f"nx={nx} not divisible by {n_sh} shards"
     n_loc = nx // n_sh
     ctx = ShardCtx(mesh_axes=(AXIS, None, None))
+    geom = SlabGeom(n_loc=n_loc, name=AXIS)
 
     def body(state: SimState):
-        faces = lo_to_faces_local(state.fluid.phi, cfg.bcs.u, ctx)
-        st8 = state._replace(fluid=state.fluid._replace(phi=faces))
         ex = make_sharded_exchange(cfg, ctx, n_loc)
-        new, diag = cd.coupled_step(st8, cfg, ctx=ctx, exchange_fn=ex)
-        new = new._replace(
-            fluid=new.fluid._replace(phi=faces_to_lo(new.fluid.phi))
-        )
-        return new, diag
+        dem_fn = _make_dem_fn(cfg, geom)
+        return _one_sharded_step(state, cfg, ctx, n_loc, ex, dem_fn, geom)
 
     sharded = jax.shard_map(
         body,
@@ -392,24 +524,33 @@ def make_sharded_step(cfg: cd.CaseConfig, mesh: Mesh):
 
 def make_sharded_scan(cfg: cd.CaseConfig, mesh: Mesh, n_steps: int):
     """n_steps sharded coupled steps under one jit (scan inside shard_map,
-    so per-step halos stay on ICI with no host sync)."""
+    so per-step halos/migrations stay on ICI with no host sync).
+
+    XLA:CPU (jax 0.9.0, xla_force_host_platform_device_count) MISCOMPILES
+    this body when the scan is rolled: with particle positions changing
+    across iterations (dynamic gather/scatter indices) next to the CG
+    while-loop's collectives, buffers alias across iterations and even the
+    FIRST iteration's results are corrupted (reproduced with a minimal
+    elementwise `pos += dt*vel`; unroll=n restores bitwise agreement with
+    the step-at-a-time path and the single-device run). Work around it by
+    fully unrolling on the CPU backend — the virtual-device test/dryrun
+    path. XLA:TPU's production SPMD pipeline is kept rolled."""
+    import jax as _jax
+    from .particles import SlabGeom
     n_sh = mesh.shape[AXIS]
     n_loc = cfg.grid.shape[0] // n_sh
     ctx = ShardCtx(mesh_axes=(AXIS, None, None))
+    geom = SlabGeom(n_loc=n_loc, name=AXIS)
+    unroll = n_steps if _jax.default_backend() == "cpu" else 1
 
     def body(state: SimState):
         ex = make_sharded_exchange(cfg, ctx, n_loc)
+        dem_fn = _make_dem_fn(cfg, geom)
 
         def one(s, _):
-            faces = lo_to_faces_local(s.fluid.phi, cfg.bcs.u, ctx)
-            st8 = s._replace(fluid=s.fluid._replace(phi=faces))
-            new, diag = cd.coupled_step(st8, cfg, ctx=ctx, exchange_fn=ex)
-            new = new._replace(
-                fluid=new.fluid._replace(phi=faces_to_lo(new.fluid.phi))
-            )
-            return new, diag
+            return _one_sharded_step(s, cfg, ctx, n_loc, ex, dem_fn, geom)
 
-        return lax.scan(one, state, None, length=n_steps)
+        return lax.scan(one, state, None, length=n_steps, unroll=unroll)
 
     sharded = jax.shard_map(
         body,

@@ -115,29 +115,73 @@ _FOAM_HEADER = """FoamFile
 """
 
 
+def _xfastest(a: np.ndarray) -> np.ndarray:
+    """(nx,ny,nz) C-order array -> flat vector in OpenFOAM/blockMesh cell
+    ordering (x-fastest): value order must match `foammesh.cell_ids`."""
+    return a.transpose(2, 1, 0).reshape(-1)
+
+
 def _write_foam_field(path: Path, name: str, arr: np.ndarray, is_vector: bool):
+    from .foammesh import PATCH_NAMES
     cls = "volVectorField" if is_vector else "volScalarField"
     with open(path, "w") as f:
         f.write(_FOAM_HEADER.format(cls=cls, obj=name))
         dims = "[0 1 -1 0 0 0 0]" if is_vector else "[0 2 -2 0 0 0 0]"
         f.write(f"dimensions      {dims};\n\n")
         if is_vector:
-            vals = arr.reshape(3, -1).T          # (ncells, 3), x-fastest? see note
+            vals = np.stack([_xfastest(arr[c]) for c in range(3)], axis=-1)
             f.write(f"internalField   nonuniform List<vector>\n{vals.shape[0]}\n(\n")
-            for v in vals:
-                f.write(f"({v[0]:.8g} {v[1]:.8g} {v[2]:.8g})\n")
+            f.write("\n".join(f"({v[0]:.8g} {v[1]:.8g} {v[2]:.8g})" for v in vals))
         else:
-            vals = arr.reshape(-1)
+            vals = _xfastest(arr)
             f.write(f"internalField   nonuniform List<scalar>\n{vals.shape[0]}\n(\n")
-            for v in vals:
-                f.write(f"{v:.8g}\n")
-        f.write(");\n\nboundaryField\n{\n}\n")
+            f.write("\n".join(f"{v:.8g}" for v in vals))
+        f.write("\n);\n\nboundaryField\n{\n")
+        for p in PATCH_NAMES:
+            f.write(f"    {p}\n    {{\n        type            zeroGradient;\n    }}\n")
+        f.write("}\n")
 
 
-def write_time_dir(case_dir, state: SimState, fields=("p", "U", "alpha")) -> str:
+_CONTROL_DICT = """FoamFile
+{
+    version     2.0;
+    format      ascii;
+    class       dictionary;
+    location    "system";
+    object      controlDict;
+}
+application     icoFoamYade;
+startFrom       latestTime;
+writeControl    timeStep;
+writeInterval   1;
+"""
+
+
+def write_case_skeleton(case_dir, grid) -> None:
+    """Emit the once-per-case companions the reference inherits from its
+    OpenFOAM case layout: constant/polyMesh (via `foammesh`), a minimal
+    system/controlDict, and the `case.foam` stub ParaView's reader opens."""
+    from .foammesh import write_polymesh
+    base = Path(case_dir)
+    if not (base / "constant" / "polyMesh" / "points").exists():
+        write_polymesh(base, grid)
+    sysdir = base / "system"
+    sysdir.mkdir(parents=True, exist_ok=True)
+    cd = sysdir / "controlDict"
+    if not cd.exists():
+        cd.write_text(_CONTROL_DICT)
+    (base / "case.foam").touch()
+
+
+def write_time_dir(case_dir, state: SimState, fields=("p", "U", "alpha"),
+                   grid=None) -> str:
     """Write fluid fields in OpenFOAM ASCII format under <case>/<time>/ —
-    the analog of the reference's `runTime.write()` output layout."""
+    the analog of the reference's `runTime.write()` output layout. Pass
+    `grid` to also emit the constant/polyMesh companion (once per case) so
+    the output opens directly in ParaView / OpenFOAM post-processing."""
     t = float(state.t)
+    if grid is not None:
+        write_case_skeleton(case_dir, grid)
     tdir = Path(case_dir) / f"{t:.6g}"
     tdir.mkdir(parents=True, exist_ok=True)
     fs = state.fluid

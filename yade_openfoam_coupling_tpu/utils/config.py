@@ -113,9 +113,13 @@ def load_pressure_solver(case: Path) -> pr.PressureSolverConfig:
     solver = str(p.get("solver", "GAMG"))
     # OpenFOAM GAMG -> our MG-preconditioned CG; PCG -> Jacobi-PCG
     mapped = "mgpcg" if solver.upper() in ("GAMG", "PCG") and solver.upper() == "GAMG" else "pcg"
+    # fvSolution 'tolerance' is ABSOLUTE in OpenFOAM (on a normFactor-scaled
+    # residual; we apply it to the plain 2-norm — documented divergence) and
+    # 'relTol' is the per-solve |r|/|r0| early exit. Keep the native
+    # relative `tol` at its default as a safety net.
     return pr.PressureSolverConfig(
         solver=mapped,
-        tol=float(p.get("tolerance", 1e-6)),
+        abs_tol=float(p.get("tolerance", 1e-30)),
         rel_tol=float(p.get("relTol", 0.0)),
         maxiter=int(p.get("maxIter", 200)),
     )
@@ -154,6 +158,27 @@ def load_piso(case: Path, pressure: pr.PressureSolverConfig) -> PISOConfig:
     )
 
 
+def _relaxation_factor(d, section: str, names) -> float:
+    """fvSolution relaxationFactors lookup: exact name first, then any
+    OpenFOAM regex-style key ('U.*', '(U|k|epsilon)') that matches."""
+    import re as _re
+    sec = fd.get(d, f"relaxationFactors.{section}", {}) or {}
+    if not isinstance(sec, dict):
+        return 1.0
+    sec = {k.strip('"'): v for k, v in sec.items()}
+    for n in names:
+        if n in sec:
+            return float(sec[n])
+    for key, v in sec.items():
+        try:
+            pat = _re.compile(key)
+        except _re.error:
+            continue
+        if any(pat.fullmatch(n) for n in names):
+            return float(v)
+    return 1.0
+
+
 def load_pimple(case: Path, pressure: pr.PressureSolverConfig) -> PIMPLEConfig:
     d = _read(case, "system/fvSolution")
     return PIMPLEConfig(
@@ -162,6 +187,9 @@ def load_pimple(case: Path, pressure: pr.PressureSolverConfig) -> PIMPLEConfig:
         momentum_predictor=bool(fd.get(d, "PIMPLE.momentumPredictor", False)),
         convection_scheme=load_convection_scheme(case),
         pressure=pressure,
+        # UcEqn.relax() / p.relax() factors (UcEqn.H:12); 1.0 = off
+        relax_u=_relaxation_factor(d, "equations", ("U", "Uc", "U.c")),
+        relax_p=_relaxation_factor(d, "fields", ("p",)),
     )
 
 

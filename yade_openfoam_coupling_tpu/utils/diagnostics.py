@@ -45,15 +45,30 @@ def courant(phi, grid: Grid, dt, ctx=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ctx.mean_of_sum(jnp.sum(co), co.size), ctx.max(jnp.max(co))
 
 
-def new_dt(co_max, dt, tc: TimeControls):
+def new_dt(co_max, dt, tc: TimeControls, dt_diff=None):
     """`setDeltaT.H` logic: grow at most 1.2x toward maxCo, shrink as
-    needed, clamp to [min_dt, max_dt]."""
+    needed, clamp to [min_dt, max_dt].
+
+    ``dt_diff`` is the explicit-diffusion stability bound h²/(6 ν_eff).
+    The reference never needs it — `fvm::laplacian` is implicit
+    (`icoFoamYade.C:83`) — but our momentum diffusion is explicit, so with
+    kEqn/kEpsilon active ν_eff can push the diffusive limit below the
+    Courant-chosen dt; cap to it."""
     if not tc.adjust_time_step:
         return dt
     factor = tc.max_co / jnp.maximum(co_max, 1e-12)
     # OpenFOAM damps growth: min(factor, 1 + 0.1*factor), capped at 1.2
     factor = jnp.minimum(jnp.minimum(factor, 1.0 + 0.1 * factor), 1.2)
-    return jnp.clip(dt * factor, tc.min_dt, tc.max_dt)
+    out = dt * factor
+    if dt_diff is not None:
+        out = jnp.minimum(out, dt_diff)
+    return jnp.clip(out, tc.min_dt, tc.max_dt)
+
+
+def diffusive_dt_bound(grid: Grid, nu: float, nut_max, safety: float = 0.9):
+    """Explicit-diffusion stable dt: safety * h_min² / (6 ν_eff_max)."""
+    h2 = min(grid.spacing) ** 2
+    return safety * h2 / (6.0 * (nu + jnp.maximum(nut_max, 0.0)))
 
 
 def continuity_errors(phi, alpha, alpha_old, grid: Grid, dt, ctx=None):

@@ -45,5 +45,17 @@ class RunLogger:
             f"particles found: {int(diag.n_found)}, max |v| = "
             f"{float(diag.max_particle_speed):.4g}\n"
         )
+        overflow = int(getattr(diag, "n_contact_overflow", 0))
+        if overflow:
+            w(
+                f"WARNING: {overflow} DEM neighbor-list overflows — raise "
+                f"cell_capacity/max_neighbors (contacts are being dropped)\n"
+            )
+        cpl_overflow = int(getattr(diag, "n_coupling_overflow", 0))
+        if cpl_overflow:
+            w(
+                f"WARNING: {cpl_overflow} coupling slot overflows — raise "
+                f"slot_capacity (particles uncoupled this step)\n"
+            )
         w(f"ExecutionTime = {cpu:.2f} s  ClockTime = {wall:.2f} s\n\n")
         self.stream.flush()
