@@ -14,7 +14,8 @@ def _params():
 
 
 @pytest.mark.parametrize("periodic", [(False,) * 3, (True, True, True)])
-def test_neighbor_list_forces_match_allpairs(periodic):
+@pytest.mark.parametrize("dense_rolls", [False, True])
+def test_neighbor_list_forces_match_allpairs(periodic, dense_rolls):
     rng = np.random.RandomState(7)
     N = 80
     grid = Grid.cube(16, 1.0)
@@ -29,6 +30,7 @@ def test_neighbor_list_forces_match_allpairs(periodic):
         params=_params(), neighbor="cells", cell_capacity=32,
         max_neighbors=32, periodic=periodic,
         wall_axes=tuple(not p for p in periodic),
+        dense_rolls=dense_rolls,
     )
     nbr = dem.build_neighbor_list(pos, act, grid, cfg, r)
     f_n, t_n = dem.neighbor_contact_forces(nbr, pos, vel, ang, rad, act, grid, cfg)

@@ -79,6 +79,13 @@ class DEMConfig:
     # (and should carry a bigger cap) when the 2r(1+skin) sizing would
     # exceed this
     max_bins: int = 2_000_000
+    # build the candidate table by 27 static rolls instead of a (N,27)-row
+    # bin gather. MEASURED ON TPU TO OOM at the tracked benchmark: XLA
+    # materializes each roll's (bx,by,bz,cap) reshape with the cap(=4)
+    # minor dim lane-padded 32x (~580 MB x 27 HLO temps). Keep off on TPU
+    # until the table can be built without small-minor-dim intermediates;
+    # the fallback (N,27)-row gather costs ~19 ms at 100k.
+    dense_rolls: bool = False
     # evaluate contact forces in this many particle chunks (lax.map) — the
     # (N, M, 11) candidate-data transient is lane-padded ~12x, so bound it
     # at large N. 1 = unchunked.
@@ -396,7 +403,7 @@ def build_neighbor_list(
     # the minimum-image distance test). Falls back to the per-particle
     # (N,27)-row gather when the dense table would blow the memory budget.
     dense_elems = nbin * 27 * cap
-    use_dense = dense_elems <= ROLL_CAND_ELEM_LIMIT
+    use_dense = cfg.dense_rolls and dense_elems <= ROLL_CAND_ELEM_LIMIT
 
     if use_dense:
         tbl_fused = table_flat[: nbin * cap].reshape(bx, by, bz * cap)
