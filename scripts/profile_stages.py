@@ -243,6 +243,24 @@ def main():
             return jnp.sum(fs.u) + jnp.sum(fs.p)
         return jax.jit(go)
 
+    # --- fluid with Pallas pressure matvec -----------------------------------
+    def fluid_pallas(n):
+        cfgp = _dc.replace(
+            cfg, pimple=_dc.replace(
+                cfg.pimple, pressure=_dc.replace(cfg.pimple.pressure,
+                                                 use_pallas=True)))
+        g = jnp.asarray(cfg.gravity_fluid, jnp.float32)
+        def go():
+            def body(fs, _):
+                tb = turb_mod.correct(tb0, fs, grid, cfg.bcs, tp.nu, dt,
+                                      cfg.turbulence)
+                fs2, info = pimple_step(fs, grid, cfg.bcs, tp.nu, tb.nut, g,
+                                        dt, cfgp.pimple)
+                return fs2, None
+            fs, _ = jax.lax.scan(body, fs0, None, length=n)
+            return jnp.sum(fs.u) + jnp.sum(fs.p)
+        return jax.jit(go)
+
     # --- full step with slots exchange ---------------------------------------
     def full_slots(n):
         run = cd.make_scan_fn(cfg_slots, n)
@@ -268,6 +286,7 @@ def main():
     if want("list"): timeit("  neighbor list build", nlist, k=6)
     if want("force"): timeit("  neighbor force eval (x1)", nforce, k=8)
     if want("fluid"): timeit("fluid (turb + PIMPLE)", fluid_only, k=6)
+    if want("fpallas"): timeit("fluid (pallas pEqn)", fluid_pallas, k=6)
 
 
 if __name__ == "__main__":

@@ -54,3 +54,23 @@ def test_solve_pressure_use_pallas_matches():
     np.testing.assert_allclose(np.asarray(pal.x), np.asarray(base.x),
                                rtol=1e-3, atol=1e-5)
     assert abs(int(pal.iters) - int(base.iters)) <= 2
+
+
+def test_pallas_roll_distribute_matches_jax():
+    """distribute_rolls_pallas == the sequential jnp.roll accumulation."""
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+    from yade_openfoam_coupling_tpu.ops.pallas_rolls import distribute_rolls_pallas
+
+    cfg = cp.CouplingConfig(gaussian=True, stencil_shape="sphere2")
+    offsets = cp.stencil_offsets(cfg)
+    S, C = len(offsets), 8
+    shape = (8, 16, 32)
+    bufT = jax.random.normal(jax.random.PRNGKey(2), (S, C) + shape)
+
+    expect = jnp.zeros((C,) + shape)
+    for o in range(S):
+        dx, dy, dz = (int(v) for v in offsets[o])
+        expect = expect + jnp.roll(bufT[o], (dx, dy, dz), axis=(1, 2, 3))
+    got = distribute_rolls_pallas(bufT, offsets, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)

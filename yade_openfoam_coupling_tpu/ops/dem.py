@@ -79,13 +79,14 @@ class DEMConfig:
     # (and should carry a bigger cap) when the 2r(1+skin) sizing would
     # exceed this
     max_bins: int = 2_000_000
-    # build the candidate table by 27 static rolls instead of a (N,27)-row
-    # bin gather. MEASURED ON TPU TO OOM at the tracked benchmark: XLA
-    # materializes each roll's (bx,by,bz,cap) reshape with the cap(=4)
-    # minor dim lane-padded 32x (~580 MB x 27 HLO temps). Keep off on TPU
-    # until the table can be built without small-minor-dim intermediates;
-    # the fallback (N,27)-row gather costs ~19 ms at 100k.
-    dense_rolls: bool = False
+    # build the candidate table by 27 static rolls + one transpose instead
+    # of a (N,27)-row bin gather (the dominant list-build cost: 2.7M index
+    # rows, ~19 ms at 100k). The v1 construction (reshape each roll to
+    # (bx,by,bz,cap)) OOM'd on TPU — cap=4 minor dims lane-pad 32x
+    # (~580 MB per HLO temp); v2 keeps every intermediate either fused
+    # (minor dim bz*cap) or flat, pays one (27, nbin*cap) -> (nbin*cap, 27)
+    # transpose, and fetches candidates with a cap-row gather (cap*N rows).
+    dense_rolls: bool = True
     # evaluate contact forces in this many particle chunks (lax.map) — the
     # (N, M, 11) candidate-data transient is lane-padded ~12x, so bound it
     # at large N. 1 = unchunked.
@@ -95,9 +96,10 @@ class DEMConfig:
     periodic: tuple[bool, bool, bool] = (False, False, False)
 
 
-# dense-roll candidate table budget: (nbin, 27*cap) int32 must stay well
-# under HBM next to the state (300M elems = 1.2 GB)
-ROLL_CAND_ELEM_LIMIT = 300_000_000
+# dense-roll candidate table budget: the transposed (nbin*cap, 27) gather
+# table lane-pads 27 -> 128, i.e. nbin*cap*512 B of HBM; cap the slot count
+# so the table stays ~2.5 GB next to the state
+ROLL_CAND_SLOT_LIMIT = 5_000_000
 
 
 def particle_mass(radius: jnp.ndarray, rho_p: float) -> jnp.ndarray:
@@ -402,23 +404,24 @@ def build_neighbor_list(
     # matches the old mod-wrap semantics (wall-axis wraps are rejected by
     # the minimum-image distance test). Falls back to the per-particle
     # (N,27)-row gather when the dense table would blow the memory budget.
-    dense_elems = nbin * 27 * cap
-    use_dense = cfg.dense_rolls and dense_elems <= ROLL_CAND_ELEM_LIMIT
+    use_dense = cfg.dense_rolls and nbin * cap <= ROLL_CAND_SLOT_LIMIT
 
     if use_dense:
+        # v2 construction (see dense_rolls docstring): every array here is
+        # either fused-minor (bz*cap) or has a large minor dim, so nothing
+        # lane-pads catastrophically. Layout of the final table: row
+        # bin*cap + slot, 27 neighbor-offset channels (order within the
+        # 27*cap candidate set is irrelevant — top_k re-orders by key).
         tbl_fused = table_flat[: nbin * cap].reshape(bx, by, bz * cap)
-        parts = []
-        for o in offs_np:
-            r = jnp.roll(
+        parts = [
+            jnp.roll(
                 tbl_fused,
                 (-int(o[0]), -int(o[1]), -int(o[2]) * cap),
                 axis=(0, 1, 2),
-            )
-            parts.append(r.reshape(bx, by, bz, cap))      # free bitcast view
-        cand_tbl = jnp.concatenate(parts, axis=-1).reshape(nbin, 27 * cap)
-        cand_tbl = jnp.concatenate(
-            [cand_tbl, jnp.full((1, 27 * cap), N, jnp.int32)]
-        )
+            ).reshape(-1)
+            for o in offs_np
+        ]                                                  # 27 x (nbin*cap,)
+        candT = jnp.stack(parts).T                         # (nbin*cap, 27)
         nb_bin = jnp.zeros((N, 27), jnp.int32)            # unused placeholder
         table = None
     else:
@@ -436,7 +439,13 @@ def build_neighbor_list(
     def compact_block(args):
         bin_b, nb_b, act_b, self_b = args                 # (n,), (n,27), (n,), (n,1)
         if use_dense:
-            cand = cand_tbl[bin_b]                        # (n, 27*cap) row-gather
+            # cap consecutive rows per particle (27-channel payload each);
+            # inactive particles (bin_b == nbin) clip to an arbitrary real
+            # row and are masked out through act_b below
+            n_b = bin_b.shape[0]
+            rows = (jnp.minimum(bin_b, nbin - 1)[:, None] * cap
+                    + jnp.arange(cap, dtype=jnp.int32)[None, :])
+            cand = candT[rows.reshape(-1)].reshape(n_b, cap * 27)
         else:
             cand = table[nb_b].reshape(nb_b.shape[0], 27 * cap)
         valid = (cand != N) & (cand != self_b) & act_b[:, None]

@@ -209,16 +209,20 @@ def _sharded_support_ops(
         N, S, C = values.shape
         buf = jax.ops.segment_sum(
             values.reshape(N, S * C), base_loc, num_segments=nslab + 1
-        )[:nslab].reshape(n_loc + 1, ny, nz, S, C)
-        ext = jnp.zeros((n_loc + 2, ny, nz, C), values.dtype)
+        )[:nslab]
+        # offset-major transpose before the roll-distribution: slicing the
+        # (slab, S, C) layout per offset reads an 8-lane sliver of every
+        # 128-lane padded tile row (measured 43 ms single-device for S=19,
+        # C=8); one transpose + contiguous (C, slab) plane rolls instead
+        bufT = buf.T.reshape((S, C, n_loc + 1, ny, nz))
+        ext = jnp.zeros((C, n_loc + 2, ny, nz), values.dtype)
         for o in range(S):
             dx, dy, dz = (int(v) for v in offsets[o])
-            plane = jnp.roll(buf[..., o, :], (dy, dz), axis=(1, 2))
+            plane = jnp.roll(bufT[o], (dy, dz), axis=(2, 3))
             # buffer plane j lands on extended plane j+dx; clip to range
             j0 = max(0, -dx)
             j1 = min(n_loc + 1, n_loc + 2 - dx)
-            ext = ext.at[j0 + dx: j1 + dx].add(plane[j0:j1])
-        ext = jnp.moveaxis(ext, -1, 0)                   # (C, n_loc+2, ny, nz)
+            ext = ext.at[:, j0 + dx: j1 + dx].add(plane[:, j0:j1])
         n_sh = lax.axis_size(AXIS)
         fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
         bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
