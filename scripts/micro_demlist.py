@@ -68,7 +68,7 @@ def main():
         if upto == "sort":
             return bin_sorted.astype(jnp.float32) + order.astype(jnp.float32)
 
-        rank = jnp.arange(N) - jnp.searchsorted(bin_sorted, bin_sorted, side="left")
+        rank = dem.rank_in_sorted_segments(bin_sorted)
         if upto == "rank":
             return rank.astype(jnp.float32) + bin_sorted.astype(jnp.float32)
 

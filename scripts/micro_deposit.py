@@ -217,6 +217,27 @@ def main():
             return jnp.sum(keys)
         return jax.jit(go)
 
+    def gather_order(sort_first):
+        """(N,S)-row 12-ch gather with original vs cell-sorted particle
+        order — probes HBM locality of the gather rows."""
+        ids = sup.flat_ids
+        if sort_first:
+            ids = ids[jnp.argsort(sup.base_flat)]
+        F0 = jnp.asarray(rng.normal(0, 1, (ncells + 1, 12)), jnp.float32)
+        def make(n):
+            def go():
+                def body(F, _):
+                    vals = F[ids]                              # (N,S,12)
+                    g = jnp.sum(vals * w[..., None], axis=1)
+                    F = F.at[0, 0].add(jnp.sum(g) * 1e-30)
+                    return F, None
+                F, _ = jax.lax.scan(body, F0, None, length=n)
+                return jnp.sum(F[0])
+            return jax.jit(go)
+        return make
+
+    if want("gunsorted"): timeit("gather 12ch unsorted order", gather_order(False))
+    if want("gsorted"): timeit("gather 12ch sorted order", gather_order(True))
     if want("argsort"): timeit("argsort N int32", argsort_probe)
     if want("topk"): timeit("top_k (N,108)->8", topk_probe)
     if want("sorted"): timeit("+ segment_sum (sorted ids)", scatter_sorted)

@@ -66,7 +66,8 @@ def bin_particles(pf: cp.ParticleFields, grid: Grid, cap: int) -> SlotTable:
 
     order = jnp.argsort(cell)
     cell_sorted = cell[order]
-    rank = jnp.arange(N) - jnp.searchsorted(cell_sorted, cell_sorted, side="left")
+    from .dem import rank_in_sorted_segments
+    rank = rank_in_sorted_segments(cell_sorted)
     keep = (rank < cap) & (cell_sorted < ncells)
     slot_sorted = jnp.where(
         keep, jnp.clip(cell_sorted, 0, ncells - 1) * cap + jnp.minimum(rank, cap - 1),

@@ -102,6 +102,23 @@ class DEMConfig:
 ROLL_CAND_SLOT_LIMIT = 5_000_000
 
 
+def rank_in_sorted_segments(keys_sorted: jnp.ndarray) -> jnp.ndarray:
+    """rank[i] = i - (first index of keys_sorted[i]'s run), for an ascending
+    key array. An associative cummax scan over segment-start indices — pure
+    elementwise passes. Replaces `searchsorted(keys, keys)`, whose binary
+    search costs log2(N) sequential gather rounds (measured 11.6 ms for
+    N=100k on v5e vs ~0.5 ms for this scan)."""
+    n = keys_sorted.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_sorted[1:] != keys_sorted[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_new, idx, 0)
+    )
+    return idx - seg_start
+
+
 def particle_mass(radius: jnp.ndarray, rho_p: float) -> jnp.ndarray:
     return rho_p * (4.0 / 3.0) * jnp.pi * radius ** 3
 
@@ -254,7 +271,7 @@ def cell_list_contact_forces(
     order = jnp.argsort(cell)                        # (N,)
     cell_sorted = cell[order]
     # rank within cell: position among equal keys
-    idx_in_cell = jnp.arange(N) - jnp.searchsorted(cell_sorted, cell_sorted, side="left")
+    idx_in_cell = rank_in_sorted_segments(cell_sorted)
     # bin table: (ncell+1, cap) of particle indices (N = empty)
     table = jnp.full((ncell + 1) * cap, N, jnp.int32)
     slot = jnp.clip(cell_sorted, 0, ncell) * cap + jnp.minimum(idx_in_cell, cap - 1)
@@ -374,7 +391,7 @@ def build_neighbor_list(
     # rank within bin via sorted search
     order = jnp.argsort(bin_of)
     bin_sorted = bin_of[order]
-    rank = jnp.arange(N) - jnp.searchsorted(bin_sorted, bin_sorted, side="left")
+    rank = rank_in_sorted_segments(bin_sorted)
     keep = rank < cap
 
     offs_np = np.stack(
