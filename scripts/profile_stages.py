@@ -183,6 +183,31 @@ def main():
             return jnp.sum(u)
         return jax.jit(go)
 
+    # --- plane-dense exchange ------------------------------------------------
+    cfg_planes = _dc.replace(
+        cfg, coupling=_dc.replace(cfg.coupling, exchange="planes",
+                                  slot_capacity=4),
+    )
+
+    def exch_planes(n):
+        def go():
+            def body(u, _):
+                fs = fs0._replace(u=u)
+                res = cd.exchange(fs, ps0, grid, cfg.bcs, tp,
+                                  cfg_planes.coupling, dt)
+                u2 = u + 0.0 * (jnp.sum(res.force) + jnp.sum(res.u_source))
+                return u2, None
+            u, _ = jax.lax.scan(body, fs0.u, None, length=n)
+            return jnp.sum(u)
+        return jax.jit(go)
+
+    def full_planes(n):
+        run = cd.make_scan_fn(cfg_planes, n)
+        def go():
+            out, _ = run(state)
+            return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
+        return jax.jit(go)
+
     # --- DEM substeps only -------------------------------------------------
     hydro = dem.DEMForces(jnp.zeros_like(ps0.vel), jnp.zeros_like(ps0.vel))
     def dem_only(n):
@@ -282,6 +307,8 @@ def main():
     if want("deposit"): timeit("  deposit_outer (8ch)", sub_deposit, k=6)
     if want("slots"): timeit("exchange (slots)", exch_slots, k=6)
     if want("full slots"): timeit("full step (slots)", full_slots, k=6)
+    if want("planes"): timeit("exchange (planes)", exch_planes, k=6)
+    if want("full planes"): timeit("full step (planes)", full_planes, k=6)
     if want("DEM"): timeit("DEM substeps (4)", dem_only, k=6)
     if want("list"): timeit("  neighbor list build", nlist, k=6)
     if want("force"): timeit("  neighbor force eval (x1)", nforce, k=8)

@@ -1,0 +1,87 @@
+"""Plane-dense exchange (Pallas kernels, interpret mode): equivalence with
+the sparse plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yade_openfoam_coupling_tpu.ops import coupling as cp
+from yade_openfoam_coupling_tpu.ops import coupling_planes as cpp
+from yade_openfoam_coupling_tpu.ops.grid import Grid
+
+
+def _fields(grid, seed=0):
+    rng = np.random.RandomState(seed)
+    f = lambda *s: jnp.asarray(rng.randn(*s) * 1e-2, jnp.float32)
+    return (f(3, *grid.shape), f(3, *grid.shape), f(3, *grid.shape),
+            f(3, *grid.shape), f(3, *grid.shape))
+
+
+def _particles(grid, n, seed=1, pad=0):
+    rng = np.random.RandomState(seed)
+    lo = [grid.origin[a] + 0.08 * grid.lengths[a] for a in range(3)]
+    hi = [grid.origin[a] + 0.92 * grid.lengths[a] for a in range(3)]
+    pos = rng.uniform(lo, hi, (n, 3))
+    vel = jnp.asarray(rng.randn(n + pad, 3) * 1e-3, jnp.float32)
+    ang = jnp.asarray(rng.randn(n + pad, 3) * 1e-2, jnp.float32)
+    posp = jnp.concatenate(
+        [jnp.asarray(pos, jnp.float32),
+         jnp.zeros((pad, 3), jnp.float32)])
+    radius = jnp.full((n + pad,), 4e-4, jnp.float32)
+    active = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(pad, bool)])
+    return cp.ParticleFields(posp, vel, ang, radius, active)
+
+
+@pytest.mark.parametrize("periodic", [(True, True, False), (False, False, False)])
+def test_planes_matches_sparse(periodic):
+    grid = Grid.cube(12, 0.012)
+    cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                            stencil_shape="sphere2",
+                            exchange="planes", slot_capacity=6)
+    pf = _particles(grid, 40, pad=3)
+    u, gp, dtau, ddtu, curl = _fields(grid)
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97
+
+    sparse = cp.gaussian_coupling(pf, u, gp, dtau, ddtu, curl, grid,
+                                  periodic, 1e-6, 1000.0, 1e-4, cfg,
+                                  prev_alpha=prev_alpha)
+    planes = cpp.gaussian_coupling_planes(pf, u, gp, dtau, ddtu, curl, grid,
+                                          periodic, 1e-6, 1000.0, 1e-4, cfg,
+                                          prev_alpha=prev_alpha,
+                                          interpret=True)
+
+    assert int(planes.n_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(planes.found),
+                                  np.asarray(sparse.found))
+    np.testing.assert_allclose(np.asarray(planes.alpha),
+                               np.asarray(sparse.alpha), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(planes.u_particle),
+                               np.asarray(sparse.u_particle),
+                               rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(planes.u_source_drag),
+                               np.asarray(sparse.u_source_drag),
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(planes.u_source),
+                               np.asarray(sparse.u_source),
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(planes.force),
+                               np.asarray(sparse.force), rtol=2e-4, atol=1e-12)
+
+
+def test_planes_overflow_counted():
+    grid = Grid.cube(8, 0.008)
+    cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                            stencil_shape="sphere2",
+                            exchange="planes", slot_capacity=1)
+    # 5 particles in the same cell: 4 overflow with cap=1
+    pos = np.tile(np.array([[0.0042, 0.0042, 0.0042]]), (5, 1))
+    pf = cp.ParticleFields(
+        jnp.asarray(pos, jnp.float32), jnp.zeros((5, 3)), jnp.zeros((5, 3)),
+        jnp.full((5,), 4e-4, jnp.float32), jnp.ones(5, bool))
+    u = jnp.zeros((3,) + grid.shape)
+    res = cpp.gaussian_coupling_planes(
+        pf, u, u, u, u, u, grid, (False, False, False), 1e-6, 1000.0, 1e-4,
+        cfg, prev_alpha=jnp.ones(grid.shape), interpret=True)
+    assert int(res.n_overflow) == 4
+    assert int(jnp.sum(res.found.astype(jnp.int32))) == 1

@@ -126,7 +126,10 @@ def exchange(
     curl_u, grad_p, div_tau, ddt_u = _coupling_inputs(fs, grid, bcs, tp.nu, dt, ctx, cfg)
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
-        if cfg.exchange == "slots":
+        if cfg.exchange == "planes":
+            from ..ops.coupling_planes import gaussian_coupling_planes
+            fn = gaussian_coupling_planes
+        elif cfg.exchange == "slots":
             from ..ops.coupling_slots import gaussian_coupling_slots
             fn = gaussian_coupling_slots
         elif cfg.particle_chunks > 1:
@@ -159,6 +162,11 @@ def initialize_state(
     pressure (the reference has the same hazard: `initFields` sets
     alpha = 1 everywhere, `FoamYade.C:68`, regardless of particles)."""
     dt_arr = jnp.asarray(dt, jnp.float32)
+    if cfg.dem.shear_history and particles.shear_xi is None:
+        sh = demod.make_shear_state(particles.n_capacity,
+                                    cfg.dem.max_neighbors)
+        particles = particles._replace(shear_xi=sh.xi, shear_ids=sh.ids,
+                                       shear_wall=sh.xi_wall)
     cres = exchange(fluid, particles, cfg.grid, cfg.bcs, cfg.transport,
                     cfg.coupling, dt_arr)
     fluid = fluid._replace(
@@ -223,10 +231,20 @@ def coupled_step(
     dt_dem = dt / cfg.n_dem_substeps
     hydro = demod.DEMForces(cres.force, cres.torque)
     if dem_fn is None:
-        pos, vel, angvel, n_overflow = demod.dem_substeps(
-            ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
-            hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
-        )
+        if cfg.dem.shear_history:
+            pos, vel, angvel, n_overflow, sh = demod.dem_substeps(
+                ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
+                hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+                shear=demod.ShearState(ps.shear_xi, ps.shear_ids,
+                                       ps.shear_wall),
+            )
+            ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
+                             shear_wall=sh.xi_wall)
+        else:
+            pos, vel, angvel, n_overflow = demod.dem_substeps(
+                ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
+                hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+            )
     else:
         pos, vel, angvel, n_overflow = dem_fn(ps, hydro, dt_dem)
     ps = ps._replace(pos=pos, vel=vel, angvel=angvel)

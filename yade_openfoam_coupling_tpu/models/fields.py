@@ -66,6 +66,13 @@ class ParticleState(NamedTuple):
     # (`parallel/particles.py`), so cross-run comparisons key on pid — the
     # same role as Yade's body ids in the reference's per-rank buffers.
     pid: jnp.ndarray       # (N,)
+    # tangential shear-spring history (DEMConfig.shear_history; None when
+    # disabled): displacement per Verlet-list slot + the neighbor ids the
+    # slots belong to, plus one wall-contact spring per axis (Yade keeps
+    # the same state per persistent contact)
+    shear_xi: Optional[jnp.ndarray] = None    # (N, M, 3)
+    shear_ids: Optional[jnp.ndarray] = None   # (N, M) int32
+    shear_wall: Optional[jnp.ndarray] = None  # (N, 3, 3)
 
     @property
     def n_capacity(self) -> int:

@@ -1,0 +1,459 @@
+"""Plane-dense coupling exchange: slot planes + fused Pallas stencil kernels.
+
+Third-generation plumbing for the Gaussian 4-way exchange (after the sparse
+per-particle row path, `ops/coupling.py`, and the row-major slot table,
+`ops/coupling_slots.py`). Measured costs at the 100k/128^3 tracked
+benchmark drove every choice (PERF.md):
+
+* per-index-row costs dominate the sparse path: (N*S)-row input gather
+  ~14 ms, anchor-buffer deposit ~35 ms;
+* ANY row-major per-slot table costs 512 B of HBM per row (lane padding),
+  so slot state must live CHANNEL-MAJOR: (channels, cap, ncells) planes;
+* scatter rows cost ~60 ns vs ~7 ns for gather rows — the pipeline does
+  exactly ONE N-row scatter (the bin) and two N-row gathers (sort reorder,
+  unbin).
+
+Pipeline:
+  1. bin: sort particles by cell (argsort + cummax rank), one-hot place
+     each particle's 8 data channels into a (ncells+1, 8*cap) row and
+     scatter-ADD with sorted indices; transpose once -> D (8, cap, ncells).
+  2. interp (Pallas kernel A): for each x-plane, read the halo-padded
+     fluid stack (3 plane views) and the slot positions; recompute the
+     normalized Gaussian weights in VMEM (exp is cheap, HBM is not) and
+     emit G (C_in, cap, ncells) slot-interpolated inputs + the weight norm.
+  3. physics (XLA, channel-major): the unchanged force laws
+     (`coupling.drag_coefficient`, Archimedes, torque) evaluated
+     elementwise on (cap, ncells) planes -> per-slot force/torque and the
+     8 deposit-value channels V.
+  4. deposit (Pallas kernel B): recompute weights, accumulate w*V into
+     one output stack per distinct (dx, dy) offset pair (dz shifts are
+     in-VMEM lane rotations); a 9-stack roll epilogue in XLA lands the
+     contributions (same scheme as `ops/pallas_rolls.py`).
+  5. unbin: transpose per-slot results to (ncells, cap*7) and fetch each
+     sorted particle's row by cell id; select its rank block with a dense
+     one-hot; invert the sort with a gather.
+
+Physics parity: identical formulas to `gaussian_coupling`
+(`/root/reference/FoamYade/FoamYade.C:293-483`); requires ``lag_alpha``
+(the alpha gather rides the main input stack — same O(dt) lag documented
+on `CouplingConfig.lag_alpha`). Wall-axis stencil cells are masked out of
+the weight normalization exactly like `_flat_cell_ids`; periodic axes use
+wrap-padded ghosts.
+
+Overflow contract: particles beyond ``slot_capacity`` in one cell are
+counted (`CouplingResult.n_overflow`), reported found=False, and receive
+no hydro force that step — identical to the slots path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from . import coupling as cp
+from .dem import rank_in_sorted_segments
+from .grid import Grid
+
+
+# ---------------------------------------------------------------------------
+# Binning: particles -> channel-major slot planes
+# ---------------------------------------------------------------------------
+
+class PlaneBins(NamedTuple):
+    D: jnp.ndarray            # (8, cap, ncells): px py pz vx vy vz rad act
+    order: jnp.ndarray        # (N,) sorted-by-cell particle order
+    inv_order: jnp.ndarray    # (N,) inverse permutation
+    cell_sorted: jnp.ndarray  # (N,) flat cell per sorted particle (ncells=invalid)
+    rank: jnp.ndarray         # (N,) rank within cell (sorted order)
+    keep: jnp.ndarray         # (N,) bool: binned (valid & rank < cap)
+    n_overflow: jnp.ndarray   # int32
+
+
+def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int) -> PlaneBins:
+    N = pf.pos.shape[0]
+    ncells = grid.ncells
+
+    base, inside = cp.locate(pf.pos, grid)
+    valid = pf.active & inside
+    nx, ny, nz = grid.shape
+    cell = base[:, 0] * (ny * nz) + base[:, 1] * nz + base[:, 2]
+    cell = jnp.where(valid, cell, ncells)
+
+    order = jnp.argsort(cell)
+    inv_order = jnp.argsort(order)
+    cell_sorted = cell[order]
+    rank = rank_in_sorted_segments(cell_sorted)
+    keep = (rank < cap) & (cell_sorted < ncells)
+
+    dat = jnp.concatenate(
+        [pf.pos, pf.vel, pf.radius[:, None],
+         valid.astype(pf.pos.dtype)[:, None]], axis=-1,
+    )[order]                                               # (N, 8) sorted
+    dat = jnp.where(keep[:, None], dat, 0.0)
+    # one-hot rank placement, channel-major columns (c*cap + k) so the
+    # post-scatter transpose is a pure reshape to (8, cap, ncells)
+    oh = (rank[:, None] == jnp.arange(cap)[None, :]).astype(dat.dtype)
+    vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, 8 * cap)
+    rows = jnp.where(keep, cell_sorted, ncells)
+    tbl = jnp.zeros((ncells + 1, 8 * cap), dat.dtype).at[rows].add(
+        vals, indices_are_sorted=True
+    )
+    D = tbl[:ncells].T.reshape(8, cap, ncells)
+
+    n_overflow = jnp.sum(((rank >= cap) & (cell_sorted < ncells)).astype(jnp.int32))
+    return PlaneBins(D, order, inv_order, cell_sorted, rank, keep, n_overflow)
+
+
+# ---------------------------------------------------------------------------
+# Weight helper shared by both kernels (traced inside Pallas)
+# ---------------------------------------------------------------------------
+
+def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
+                        dtype):
+    """Yield (raw Gaussian weight (cap, ny, nz), offset) one offset at a
+    time for one x-plane, with wall-axis domain masks. `pos` = [px, py,
+    pz, act] as (cap, ny, nz) arrays. Generator so kernels keep a single
+    weight array live (all S at once overflows scoped VMEM)."""
+    h_mean = float(np.cbrt(grid.cell_volume))
+    sigma = cp.SIGMA_OVER_RANGE * cp.INTERP_RANGE_CELLS * h_mean
+    inv2s2 = float(1.0 / (2.0 * sigma * sigma))
+    hx, hy, hz = (float(s) for s in grid.spacing)
+    ox, oy, oz = (float(o) for o in grid.origin)
+    nx = grid.shape[0]
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+    xi = i.astype(dtype)
+
+    px, py, pz = pos[0], pos[1], pos[2]
+    act = pos[3] > 0.5
+
+    for o in offsets:
+        dx, dy, dz = (int(v) for v in o)
+        cx = ox + (xi + (dx + 0.5)) * hx
+        cy = oy + ((iy + dy).astype(dtype) + 0.5) * hy
+        cz = oz + ((iz + dz).astype(dtype) + 0.5) * hz
+        d2 = (px - cx) ** 2 + (py - cy[None]) ** 2 + (pz - cz[None]) ** 2
+        w = jnp.exp(-d2 * inv2s2)
+        # wall-axis masks: stencil cells outside the domain carry no weight
+        if not periodic[1] and dy != 0:
+            okY = (iy + dy >= 0) & (iy + dy < ny)
+            w = jnp.where(okY[None], w, 0.0)
+        if not periodic[2] and dz != 0:
+            okZ = (iz + dz >= 0) & (iz + dz < nz)
+            w = jnp.where(okZ[None], w, 0.0)
+        if not periodic[0] and dx != 0:
+            okX = jnp.logical_and(i + dx >= 0, i + dx < nx)
+            w = w * okX.astype(dtype)
+        yield jnp.where(act, w, 0.0), o
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: slot interpolation (gather side)
+# ---------------------------------------------------------------------------
+
+def _interp_kernel(fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
+                   grid: Grid, periodic, offsets, cap, C_in):
+    # fm/f0/fp: (C_in, 1, ny+2, nz+2) padded planes i, i+1, i+2
+    # pos_ref:  (4, cap, 1, ny, nz)  [px py pz act]
+    # out_ref:  (C_in+1, cap, 1, ny, nz): interpolated inputs + weight norm
+    ny, nz = out_ref.shape[3], out_ref.shape[4]
+    i = pl.program_id(0)
+    dtype = out_ref.dtype
+
+    pos = [pos_ref[c, :, 0] for c in range(4)]
+    views = {-1: fm_ref, 0: f0_ref, 1: fp_ref}
+
+    # Single pass over offsets holding ONE weight array live at a time
+    # (holding all S weights live overflows scoped VMEM at 128^3): the
+    # per-slot normalization factor is uniform across channels, so
+    # accumulate unnormalized and scale at the end.
+    acc = [None] * C_in
+    norm = None
+    for w, o in _iter_weights_plane(pos, i, grid, periodic, offsets,
+                                    ny, nz, dtype):
+        dx, dy, dz = (int(v) for v in o)
+        norm = w if norm is None else norm + w
+        for c in range(C_in):
+            F = views[dx][c, 0, 1 + dy: 1 + dy + ny, 1 + dz: 1 + dz + nz]
+            t = w * F[None]
+            acc[c] = t if acc[c] is None else acc[c] + t
+    inv_norm = jnp.where(norm > 0.0, 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+    for c in range(C_in):
+        out_ref[c, :, 0] = acc[c] * inv_norm
+    out_ref[C_in, :, 0] = norm
+
+
+def interp_planes(
+    F: jnp.ndarray,            # (C_in, nx, ny, nz) stacked input fields
+    D: jnp.ndarray,            # (8, cap, ncells) slot planes
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    cfg: cp.CouplingConfig,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> G (C_in, cap, ncells) normalized slot interpolants, norm (cap, ncells)."""
+    C_in = F.shape[0]
+    nx, ny, nz = grid.shape
+    cap = cfg.slot_capacity
+    offsets = cp.stencil_offsets(cfg)
+
+    # ghost ring: wrap on periodic axes (real wrapped values), zero on wall
+    # axes (never read — wall-offset weights are masked)
+    Fp = F
+    for a in range(3):
+        pads = [(0, 0)] * 4
+        pads[a + 1] = (1, 1)
+        Fp = jnp.pad(Fp, pads, mode="wrap" if periodic[a] else "constant")
+
+    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nx, ny, nz)
+
+    kernel = partial(_interp_kernel, grid=grid, periodic=periodic,
+                     offsets=offsets, cap=cap, C_in=C_in)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nx,),
+        in_specs=[
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
+            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((C_in + 1, cap, 1, ny, nz),
+                               lambda i: (0, 0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((C_in + 1, cap, nx, ny, nz), F.dtype),
+        interpret=interpret,
+    )(Fp, Fp, Fp, posact)
+    out = out.reshape(C_in + 1, cap, grid.ncells)
+    return out[:C_in], out[C_in]
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: slot deposit (scatter side)
+# ---------------------------------------------------------------------------
+
+def _deposit_kernel(pos_ref, v_ref, out_ref, *, grid: Grid, periodic,
+                    offsets, combos, cap, C_out):
+    # pos_ref: (4, cap, 1, ny, nz); v_ref: (C_out, cap, 1, ny, nz) — v is
+    # PRE-normalized (V * inv_norm, computed in XLA from kernel A's norm),
+    # so a single raw-weight pass suffices and only one weight array is
+    # live at a time (VMEM budget).
+    ny, nz = out_ref.shape[3], out_ref.shape[4]
+    i = pl.program_id(0)
+    dtype = out_ref.dtype
+
+    pos = [pos_ref[c, :, 0] for c in range(4)]
+    acc = {}
+    for w, o in _iter_weights_plane(pos, i, grid, periodic, offsets,
+                                    ny, nz, dtype):
+        combo = (int(o[0]), int(o[1]))
+        dz = int(o[2])
+        for c in range(C_out):
+            contrib = jnp.sum(w * v_ref[c, :, 0], axis=0)       # (ny, nz)
+            if dz:
+                contrib = jnp.roll(contrib, dz, axis=-1)
+            key = (combo, c)
+            acc[key] = contrib if key not in acc else acc[key] + contrib
+    for ci, combo in enumerate(combos):
+        for c in range(C_out):
+            out_ref[ci, c, 0] = acc[(combo, c)]
+
+
+def deposit_planes(
+    V: jnp.ndarray,            # (C_out, cap, ncells) per-slot deposit values
+    D: jnp.ndarray,            # (8, cap, ncells)
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    cfg: cp.CouplingConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> (C_out, nx, ny, nz) deposited fields (weights applied inside)."""
+    C_out = V.shape[0]
+    nx, ny, nz = grid.shape
+    cap = cfg.slot_capacity
+    offsets = cp.stencil_offsets(cfg)
+    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
+    n_combo = len(combos)
+
+    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nx, ny, nz)
+    Vp = V.reshape(C_out, cap, nx, ny, nz)
+
+    kernel = partial(_deposit_kernel, grid=grid, periodic=periodic,
+                     offsets=offsets, combos=combos, cap=cap, C_out=C_out)
+    stks = pl.pallas_call(
+        kernel,
+        grid=(nx,),
+        in_specs=[
+            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+            pl.BlockSpec((C_out, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_combo, C_out, 1, ny, nz),
+                               lambda i: (0, 0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_combo, C_out, nx, ny, nz), V.dtype),
+        interpret=interpret,
+    )(posact, Vp)
+
+    out = None
+    for ci, (dx, dy) in enumerate(combos):
+        v = stks[ci]
+        if dx or dy:
+            v = jnp.roll(v, (dx, dy), axis=(1, 2))
+        out = v if out is None else out + v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Channel-major physics (same formulas as coupling.gaussian_physics)
+# ---------------------------------------------------------------------------
+
+def _physics_planes(
+    D: jnp.ndarray,            # (8, cap, ncells)
+    G: jnp.ndarray,            # (C_in, cap, ncells) normalized interpolants
+    norm: jnp.ndarray,         # (cap, ncells) weight norms
+    cell_volume: float,
+    nu: float,
+    rho_f: float,
+    cfg: cp.CouplingConfig,
+):
+    """-> V (8, cap, ncells) deposit values, force (3, cap, ncells),
+    torque (3, cap, ncells), found (cap, ncells)."""
+    vel = D[3:6]
+    radius = D[6]
+    act = D[7] > 0.5
+    found = (norm > 0.0) & act
+
+    uf = G[0:3]
+    pg = G[3:6]
+    dtau = G[6:9]
+    c = 9
+    if cfg.use_torque:
+        curl = G[c:c + 3]
+        c += 3
+    if cfg.use_added_mass:
+        ddtu = G[c:c + 3]
+        c += 3
+    alpha_f = G[c]
+
+    dia = 2.0 * radius
+    vol = cp.particle_volume(radius)
+
+    alpha_p = jnp.clip(1.0 - alpha_f, 1e-6, 1.0)
+    ur = uf - vel
+    mag_ur = jnp.sqrt(jnp.sum(ur * ur, axis=0))
+    coeff = cp.drag_coefficient(alpha_f, alpha_p, mag_ur, dia, nu, rho_f)
+    coeff = jnp.where(found, coeff, 0.0)
+    f_drag = (vol * coeff / alpha_p)[None] * ur
+
+    f_arch = vol[None] * rho_f * (-pg + dtau)
+    f_arch = jnp.where(found[None], f_arch, 0.0)
+    force = f_drag + f_arch
+
+    if cfg.use_added_mass:
+        f_am = cfg.added_mass_coeff * rho_f * vol[None] * ddtu
+        f_am = jnp.where(found[None], f_am, 0.0)
+        force = force + f_am
+        src_part = -(f_arch + f_am)
+    else:
+        src_part = -f_arch
+
+    ooVrho = 1.0 / (cell_volume * rho_f)
+    V = jnp.concatenate([
+        vol[None],
+        vol[None] * vel,
+        (-(coeff / rho_f))[None],
+        src_part * ooVrho,
+    ])                                                     # (8, cap, ncells)
+
+    if cfg.use_torque:
+        # angvel is not binned in plane mode (torque off by parity default,
+        # FoamYade.C:618); the dispatcher asserts before reaching here
+        raise NotImplementedError(
+            "use_torque with exchange='planes' requires binning angvel; "
+            "use exchange='sparse'")
+    torque = jnp.zeros_like(force)
+    force = jnp.where(found[None], force, 0.0)
+    return V, force, torque, found
+
+
+# ---------------------------------------------------------------------------
+# Full exchange
+# ---------------------------------------------------------------------------
+
+def gaussian_coupling_planes(
+    pf: cp.ParticleFields,
+    fluid_u: jnp.ndarray,
+    grad_p: jnp.ndarray,
+    div_tau: jnp.ndarray,
+    ddt_u: jnp.ndarray,
+    curl_u: jnp.ndarray,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    nu: float,
+    rho_f: float,
+    dt,
+    cfg: cp.CouplingConfig,
+    prev_alpha=None,
+    *,
+    interpret: Optional[bool] = None,
+) -> cp.CouplingResult:
+    assert cfg.lag_alpha, "exchange='planes' requires lag_alpha=True"
+    assert not cfg.use_torque, "planes mode: torque needs sparse exchange"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = pf.pos.shape[0]
+    cap = cfg.slot_capacity
+    ncells = grid.ncells
+    Vc = grid.cell_volume
+
+    bins = bin_particles_planes(pf, grid, cap)
+
+    in_fields = [fluid_u, grad_p, div_tau]
+    if cfg.use_added_mass:
+        in_fields.append(ddt_u)
+    in_fields.append(prev_alpha)
+    F = cp._stack_channels(in_fields)                      # (C_in, grid)
+
+    G, norm = interp_planes(F, bins.D, grid, periodic, cfg,
+                            interpret=interpret)
+    V, force, torque, found = _physics_planes(
+        bins.D, G, norm, Vc, nu, rho_f, cfg
+    )
+    # fold the per-slot weight normalization into V so the deposit kernel
+    # runs a single raw-weight pass (see _deposit_kernel)
+    inv_norm = jnp.where(norm > 0.0, 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+    fields = deposit_planes(V * inv_norm[None], bins.D, grid, periodic, cfg,
+                            interpret=interpret)
+    pvol, up = fields[0], fields[1:4]
+    alpha = jnp.maximum(1.0 - pvol / Vc, cfg.alpha_min)
+    u_particle = up / Vc
+    u_source_drag = fields[4]
+    u_source = u_source_drag[None] * u_particle + fields[5:8]
+
+    # unbin: (7, cap, ncells) -> (ncells, cap*7) -> row per sorted particle
+    per = jnp.concatenate([force, torque,
+                           found.astype(force.dtype)[None]])
+    tr = per.reshape(7 * cap, ncells).T                    # (ncells, cap*7)
+    rows = jnp.minimum(bins.cell_sorted, ncells - 1)
+    g = tr[rows].reshape(N, 7, cap)                        # channel-major cols
+    sel = ((bins.rank[:, None] == jnp.arange(cap)[None, :])
+           & bins.keep[:, None]).astype(g.dtype)
+    res_sorted = jnp.einsum("nck,nk->nc", g, sel)          # (N, 7)
+    res = res_sorted[bins.inv_order]
+
+    return cp.CouplingResult(
+        force=res[:, 0:3],
+        torque=res[:, 3:6],
+        alpha=alpha.reshape(grid.shape),
+        u_particle=u_particle.reshape((3,) + grid.shape),
+        u_source=u_source.reshape((3,) + grid.shape),
+        u_source_drag=u_source_drag.reshape(grid.shape),
+        found=res[:, 6] > 0.5,
+        n_overflow=bins.n_overflow,
+    )

@@ -26,7 +26,7 @@ part in the math with zero radius/force and is never branched on.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 from jax import lax
@@ -94,6 +94,22 @@ class DEMConfig:
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
+    # Tangential shear HISTORY (Yade Law2_ScGeom_FrictPhys_CundallStrack
+    # parity): integrate a tangential spring displacement per persistent
+    # contact, Coulomb-capped with slip feedback, instead of the
+    # history-less viscous tangential force. Requires neighbor='cells'
+    # (history keys on the Verlet-list slots); carried across list
+    # rebuilds by matching neighbor ids. Default off: the history-less
+    # model is the documented round-1 behavior and several physics tests
+    # pin it.
+    shear_history: bool = False
+    # Cundall non-viscous damping (Yade NewtonIntegrator::damping, default
+    # 0.2 there): per component, forces that increase |velocity| are
+    # reduced by this factor and forces that decrease it amplified —
+    # dissipates elastic oscillations (essential for quasi-static packing
+    # with the shear spring, which is otherwise undamped tangentially).
+    # Default 0 keeps the round-1 dynamics bit-for-bit.
+    cundall_damping: float = 0.0
 
 
 # dense-roll candidate table budget: the transposed (nbin*cap, 27) gather
@@ -181,6 +197,94 @@ def _pair_force(
     torque = jnp.cross(ci, f_t)
     torque = jnp.where(touching[..., None], torque, 0.0)
     return f, torque
+
+
+class ShearState(NamedTuple):
+    """Per-(particle, neighbor-slot) tangential spring history.
+
+    Yade's default contact law integrates a tangential displacement per
+    persistent contact (`shearForce` in Law2_ScGeom_FrictPhys_
+    CundallStrack); the fixed-shape equivalent keys the history on the
+    Verlet-list slots and carries it across rebuilds by neighbor-id match
+    (ids are local slot indices — stable on a single device; under shard
+    migration a moved particle's history restarts at zero, documented).
+    Wall contacts keep one history slot per axis (the wall's identity —
+    Yade walls/facets keep the same per-contact state)."""
+
+    xi: jnp.ndarray        # (N, M, 3) tangential spring displacement
+    ids: jnp.ndarray       # (N, M) int32 neighbor ids the xi rows belong to
+    xi_wall: jnp.ndarray   # (N, 3, 3) wall-contact springs, one per axis
+
+
+def make_shear_state(n: int, max_neighbors: int, dtype=jnp.float32) -> ShearState:
+    return ShearState(
+        xi=jnp.zeros((n, max_neighbors, 3), dtype),
+        ids=jnp.full((n, max_neighbors), n, jnp.int32),
+        xi_wall=jnp.zeros((n, 3, 3), dtype),
+    )
+
+
+def carry_shear(old: ShearState, new_ids: jnp.ndarray) -> jnp.ndarray:
+    """Match each new neighbor slot against the old list and carry its
+    spring displacement; unmatched (new or vanished) contacts start at
+    zero. Dense (N, M_new, M_old) compare — no gathers."""
+    N, M_old = old.ids.shape
+    match = (new_ids[:, :, None] == old.ids[:, None, :]) & (
+        old.ids[:, None, :] < N
+    )
+    return jnp.einsum(
+        "nmo,noc->nmc", match.astype(old.xi.dtype), old.xi
+    )
+
+
+def _pair_force_shear(
+    dx, vi, vj, wi, wj, ri, rj, mi, mj, p: ContactParams, valid,
+    xi, dt,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spring-dashpot normal + HISTORY tangential spring with Coulomb cap
+    and slip feedback (Yade Law2_ScGeom_FrictPhys_CundallStrack). Returns
+    (force on i, torque on i, updated xi)."""
+    dist = jnp.linalg.norm(dx, axis=-1)
+    overlap = ri + rj - dist
+    touching = valid & (overlap > 0.0) & (dist > 1e-12)
+    dist_safe = jnp.where(dist > 1e-12, dist, 1.0)
+    n = dx / dist_safe[..., None]
+
+    ci = -ri[..., None] * n
+    cj = rj[..., None] * n
+    v_rel = (vi + jnp.cross(wi, ci)) - (vj + jnp.cross(wj, cj))
+    v_n = jnp.sum(v_rel * n, axis=-1)
+    v_t = v_rel - v_n[..., None] * n
+
+    m_eff = (mi * mj) / jnp.maximum(mi + mj, 1e-30)
+    cn = _normal_damping(p.kn, m_eff, p.restitution)
+    f_n_mag = jnp.maximum(p.kn * overlap - cn * v_n, 0.0)
+    f_n = f_n_mag[..., None] * n
+
+    # rotate the stored spring into the current tangent plane, accumulate
+    # this step's tangential sliding
+    xi_t = xi - jnp.sum(xi * n, axis=-1)[..., None] * n
+    xi_acc = xi_t + v_t * dt
+
+    # spring + tangential dashpot (Hertz-Mindlin-style; Yade's pure law
+    # omits the dashpot and relies on global damping, which cannot damp
+    # contact-frame oscillations superimposed on a net acceleration)
+    kt = p.kt_over_kn * p.kn
+    ct = _normal_damping(kt, m_eff, p.restitution)
+    f_t_trial = -kt * xi_acc - ct[..., None] * v_t
+    f_t_mag = jnp.linalg.norm(f_t_trial, axis=-1)
+    cap = p.friction * f_n_mag
+    over = f_t_mag > jnp.maximum(cap, 1e-30)
+    scale = jnp.where(over, cap / jnp.maximum(f_t_mag, 1e-30), 1.0)
+    f_t = f_t_trial * scale[..., None]
+    # slip: the spring relaxes to the Coulomb cone (Yade's shearForce
+    # re-set on plastic slip); sticking keeps the accumulated spring
+    xi_new = jnp.where(over[..., None], -f_t / kt, xi_acc)
+    xi_new = jnp.where(touching[..., None], xi_new, 0.0)
+
+    f = jnp.where(touching[..., None], f_n + f_t, 0.0)
+    torque = jnp.where(touching[..., None], jnp.cross(ci, f_t), 0.0)
+    return f, torque, xi_new
 
 
 def _min_image(dx: jnp.ndarray, grid: Grid, periodic) -> jnp.ndarray:
@@ -502,10 +606,14 @@ def build_neighbor_list(
 def neighbor_contact_forces(
     nbr: jnp.ndarray,   # (N, M) from build_neighbor_list
     pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    xi: Optional[jnp.ndarray] = None,   # (N, M, 3) shear springs (history)
+    dt=None,
+):
     """Pair forces against a fixed candidate list (one 11-channel row-gather
     of N*M rows per evaluation; `cfg.force_chunks` bounds the lane-padded
-    (chunk, M, 11) transient at large N)."""
+    (chunk, M, 11) transient at large N). With ``xi`` (and ``dt``) the
+    tangential force is the Coulomb-capped HISTORY spring and the updated
+    springs are returned as a third output."""
     N = pos.shape[0]
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
@@ -516,7 +624,7 @@ def neighbor_contact_forces(
     data = jnp.concatenate([data, jnp.zeros((1, 11), data.dtype)])
 
     def eval_block(args):
-        nbr_b, pos_b, vel_b, ang_b, rad_b, act_b = args
+        nbr_b, pos_b, vel_b, ang_b, rad_b, act_b, xi_b = args
         dj = data[nbr_b]                                # (n, M, 11)
         pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
         rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
@@ -525,40 +633,57 @@ def neighbor_contact_forces(
         valid = act_j & act_b[:, None] & (nbr_b != N)
         dx = pos_b[:, None, :] - pos_j
         dx = _min_image(dx, grid, cfg.periodic)
-        f, t = _pair_force(
-            dx,
-            vel_b[:, None, :], vel_j,
-            ang_b[:, None, :], ang_j,
-            rad_b[:, None], rad_j,
-            m_b[:, None], m_j,
-            p, valid,
-        )
-        return jnp.sum(f, axis=1), jnp.sum(t, axis=1)
+        if xi_b is None:
+            f, t = _pair_force(
+                dx,
+                vel_b[:, None, :], vel_j,
+                ang_b[:, None, :], ang_j,
+                rad_b[:, None], rad_j,
+                m_b[:, None], m_j,
+                p, valid,
+            )
+            xi_n = None
+        else:
+            f, t, xi_n = _pair_force_shear(
+                dx,
+                vel_b[:, None, :], vel_j,
+                ang_b[:, None, :], ang_j,
+                rad_b[:, None], rad_j,
+                m_b[:, None], m_j,
+                p, valid, xi_b, dt,
+            )
+        return jnp.sum(f, axis=1), jnp.sum(t, axis=1), xi_n
 
     k = cfg.force_chunks
     if k <= 1:
-        return eval_block((nbr, pos, vel, angvel, radius, active))
+        f, t, xi_n = eval_block((nbr, pos, vel, angvel, radius, active, xi))
+        return (f, t) if xi is None else (f, t, xi_n)
     assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
 
     def chunked(x):
         return x.reshape((k, N // k) + x.shape[1:])
 
-    f, t = jax.lax.map(
-        eval_block,
-        (chunked(nbr), chunked(pos), chunked(vel), chunked(angvel),
-         chunked(radius), chunked(active)),
-    )
-    return f.reshape(N, 3), t.reshape(N, 3)
+    args = (chunked(nbr), chunked(pos), chunked(vel), chunked(angvel),
+            chunked(radius), chunked(active))
+    if xi is None:
+        f, t, _ = jax.lax.map(lambda a: eval_block(a + (None,)), args)
+        return f.reshape(N, 3), t.reshape(N, 3)
+    f, t, xi_n = jax.lax.map(eval_block, args + (chunked(xi),))
+    return f.reshape(N, 3), t.reshape(N, 3), xi_n.reshape(xi.shape)
 
 
 # ---------------------------------------------------------------------------
 # Wall contacts
 # ---------------------------------------------------------------------------
 
-def wall_contact_forces(pos, vel, angvel, radius, active, grid: Grid, cfg: DEMConfig):
+def wall_contact_forces(pos, vel, angvel, radius, active, grid: Grid,
+                        cfg: DEMConfig, xi_wall=None, dt=None):
     """Contacts with the 6 domain box faces (spring-dashpot + Coulomb
     friction against infinite-mass planes), fully vectorized: one fused
-    elementwise pass instead of six pair-kernel invocations."""
+    elementwise pass instead of six pair-kernel invocations. With
+    ``xi_wall`` (N, 3, 3) the tangential force is the Coulomb-capped
+    HISTORY spring (one slot per axis — the wall is the contact identity)
+    and the updated springs are returned as a third output."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     cn = _normal_damping(p.kn, m, p.restitution)            # m_eff = m (wall)
@@ -569,6 +694,7 @@ def wall_contact_forces(pos, vel, angvel, radius, active, grid: Grid, cfg: DEMCo
 
     f_total = jnp.zeros_like(pos)
     t_total = jnp.zeros_like(pos)
+    xi_out = xi_wall
     for axis in range(3):
         if not cfg.wall_axes[axis] or cfg.periodic[axis]:
             continue
@@ -593,18 +719,37 @@ def wall_contact_forces(pos, vel, angvel, radius, active, grid: Grid, cfg: DEMCo
         c_vec = -radius[:, None] * n_vec
         v_surf = vel + jnp.cross(angvel, c_vec)
         v_t = v_surf - (jnp.sum(v_surf * n_vec, -1))[:, None] * n_vec
-        f_t = -ct[:, None] * v_t
-        f_t_mag = jnp.linalg.norm(f_t, axis=-1)
         cap = p.friction * f_n_mag
-        scale = jnp.where(
-            f_t_mag > 1e-30, jnp.minimum(1.0, cap / jnp.maximum(f_t_mag, 1e-30)), 0.0
-        )
-        f_t = f_t * jnp.where(touching, scale, 0.0)[:, None]
+        if xi_wall is None:
+            f_t = -ct[:, None] * v_t
+            f_t_mag = jnp.linalg.norm(f_t, axis=-1)
+            scale = jnp.where(
+                f_t_mag > 1e-30,
+                jnp.minimum(1.0, cap / jnp.maximum(f_t_mag, 1e-30)), 0.0
+            )
+            f_t = f_t * jnp.where(touching, scale, 0.0)[:, None]
+        else:
+            xi_a = xi_out[:, axis]                           # (N, 3)
+            # the wall normal is axis-aligned: drop the normal component
+            xi_t = xi_a.at[:, axis].set(0.0)
+            xi_acc = xi_t + v_t * dt
+            ct_t = _normal_damping(kt, m, p.restitution)     # m_eff = m
+            f_t_trial = -kt * xi_acc - ct_t[:, None] * v_t
+            f_t_mag = jnp.linalg.norm(f_t_trial, axis=-1)
+            over = f_t_mag > jnp.maximum(cap, 1e-30)
+            scale = jnp.where(over, cap / jnp.maximum(f_t_mag, 1e-30), 1.0)
+            f_t = f_t_trial * jnp.where(touching, scale, 0.0)[:, None]
+            xi_upd = jnp.where(over[:, None], -f_t / kt, xi_acc)
+            xi_out = xi_out.at[:, axis].set(
+                jnp.where(touching[:, None], xi_upd, 0.0)
+            )
 
         f = f_n_mag[:, None] * n_vec + f_t
         f_total = f_total + f
         t_total = t_total + jnp.cross(c_vec, f_t)
-    return f_total, t_total
+    if xi_wall is None:
+        return f_total, t_total
+    return f_total, t_total, xi_out
 
 
 # ---------------------------------------------------------------------------
@@ -638,13 +783,16 @@ def dem_substeps(
     dt_dem,
     n_sub: int,
     r_max: float,
+    shear: Optional[ShearState] = None,
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
     "Yade runs ceil(dt_fluid/dt_DEM) substeps per exchange").
 
     Returns (pos, vel, angvel, n_overflow): the last element counts
-    neighbor-list capacity drops this step (0 when exact)."""
+    neighbor-list capacity drops this step (0 when exact). With
+    ``cfg.shear_history`` (pass the previous step's ``shear``) a fifth
+    element returns the updated ShearState."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     inertia = particle_inertia(radius, p.rho_p)
@@ -657,21 +805,30 @@ def dem_substeps(
     inv_m = jnp.where(active, 1.0 / m, 0.0)[:, None]
     inv_I = jnp.where(active, 1.0 / inertia, 0.0)[:, None]
 
+    def damp(f, v):
+        # Cundall non-viscous damping (Yade NewtonIntegrator::damping):
+        # reduce force components that feed kinetic energy, amplify those
+        # that drain it
+        d = cfg.cundall_damping
+        if d == 0.0:
+            return f
+        return f * (1.0 - d * jnp.sign(f * v))
+
     def make_accel(nbr, pos0, vel0, angvel0):
         if cfg.contact_mode == "step":
             fc0, tc0 = contact_forces(pos0, vel0, angvel0, radius, active,
                                       grid, cfg, r_max, nbr)
 
             def accel(pos, vel, angvel):
-                f = fc0 + f_grav + hydro.force
-                t = tc0 + hydro.torque
+                f = damp(fc0 + f_grav + hydro.force, vel)
+                t = damp(tc0 + hydro.torque, angvel)
                 return f * inv_m, t * inv_I
         else:
             def accel(pos, vel, angvel):
                 fc, tc = contact_forces(pos, vel, angvel, radius, active,
                                         grid, cfg, r_max, nbr)
-                f = fc + f_grav + hydro.force
-                t = tc + hydro.torque
+                f = damp(fc + f_grav + hydro.force, vel)
+                t = damp(tc + hydro.torque, angvel)
                 return f * inv_m, t * inv_I
         return accel
 
@@ -700,6 +857,55 @@ def dem_substeps(
     every = min(every, n_sub)
     n_chunks, rem = divmod(n_sub, every)
     assert rem == 0, f"n_sub={n_sub} not divisible by list_rebuild_every={every}"
+
+    if cfg.shear_history:
+        assert use_list and cfg.contact_mode == "substep", (
+            "shear_history requires neighbor='cells', contact_mode='substep'")
+        assert shear is not None, "pass the previous ShearState"
+
+        def eval_h(nbr, pos_, vel_, ang_, xi_, xw_, dt_):
+            fc, tc, xi2 = neighbor_contact_forces(
+                nbr, pos_, vel_, ang_, radius, active, grid, cfg, xi_, dt_)
+            fw, tw, xw2 = wall_contact_forces(pos_, vel_, ang_, radius,
+                                              active, grid, cfg, xw_, dt_)
+            f = damp(fc + fw + f_grav + hydro.force, vel_)
+            t = damp(tc + tw + hydro.torque, ang_)
+            return f * inv_m, t * inv_I, xi2, xw2
+
+        def chunk_h(state, _):
+            pos, vel, angvel, sh = state
+            nbr, overflow = build_neighbor_list(
+                pos, active, grid, cfg, r_max, return_overflow=True
+            )
+            xi = carry_shear(sh, nbr)
+            xw = sh.xi_wall
+            # dt=0: force at the current state, springs projected only
+            a0, aw0, xi, xw = eval_h(nbr, pos, vel, angvel, xi, xw, 0.0)
+
+            def body(st, _):
+                pos, vel, angvel, a, aw, xi, xw = st
+                vel_h = vel + 0.5 * dt_dem * a
+                angvel_h = angvel + 0.5 * dt_dem * aw
+                pos_n = pos + dt_dem * vel_h
+                lo = jnp.asarray(grid.origin, pos.dtype)
+                L = jnp.asarray(grid.lengths, pos.dtype)
+                per = jnp.asarray(cfg.periodic)
+                pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
+                a2, aw2, xi2, xw2 = eval_h(nbr, pos_n, vel_h, angvel_h, xi,
+                                           xw, dt_dem)
+                vel_n = vel_h + 0.5 * dt_dem * a2
+                angvel_n = angvel_h + 0.5 * dt_dem * aw2
+                return (pos_n, vel_n, angvel_n, a2, aw2, xi2, xw2), None
+
+            (pos, vel, angvel, _, _, xi, xw), _ = jax.lax.scan(
+                body, (pos, vel, angvel, a0, aw0, xi, xw), None, length=every
+            )
+            return (pos, vel, angvel, ShearState(xi, nbr, xw)), overflow
+
+        (pos, vel, angvel, shear), overflows = jax.lax.scan(
+            chunk_h, (pos, vel, angvel, shear), None, length=n_chunks
+        )
+        return pos, vel, angvel, jnp.max(overflows), shear
 
     def chunk(state, _):
         pos, vel, angvel = state

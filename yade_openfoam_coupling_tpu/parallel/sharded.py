@@ -466,6 +466,13 @@ def _make_dem_fn(cfg: cd.CaseConfig, geom):
     velocity-Verlet substeps on the local slot population."""
     from . import particles as pp
 
+    if cfg.dem.shear_history:
+        raise NotImplementedError(
+            "shear_history under particle sharding: the history keys on "
+            "local Verlet slots, which migration re-maps; carry-through "
+            "needs pid-keyed matching in parallel/particles — use the "
+            "history-less tangential model for sharded runs")
+
     def dem_fn(ps, hydro, dt_dem):
         n_loc_cap = ps.pos.shape[0]
         K_g = max(16, n_loc_cap // 2)
