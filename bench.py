@@ -55,9 +55,13 @@ def main():
         transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
         solver="pimple",
         # lag_alpha: one-step-lagged alpha_f gather (documented O(dt)
-        # approximation) folds the drag's alpha gather into the main pass
+        # approximation) folds the drag's alpha gather into the main pass.
+        # exchange='planes': channel-major slot planes + fused Pallas
+        # interp/deposit kernels (measured 39 vs 63 ms for the sparse row
+        # path at this config; equivalence-tested in tests/test_coupling_planes.py)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
-                                   stencil_shape="sphere2"),
+                                   stencil_shape="sphere2",
+                                   exchange="planes", slot_capacity=4),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),

@@ -208,6 +208,25 @@ def main():
             return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
         return jax.jit(go)
 
+    # --- diagnostics (Courant + continuity + new_dt) -------------------------
+    def diags_only(n):
+        from yade_openfoam_coupling_tpu.utils.diagnostics import (
+            continuity_errors, courant, diffusive_dt_bound, new_dt,
+        )
+        from yade_openfoam_coupling_tpu.parallel.ctx import LOCAL
+        def go():
+            def body(phi, _):
+                cm, cx = courant(phi, grid, dt, LOCAL)
+                d = new_dt(cx, dt, cfg.time,
+                           dt_diff=diffusive_dt_bound(grid, tp.nu, 0.0))
+                cl, cg = continuity_errors(phi, fs0.alpha, fs0.alpha_old,
+                                           grid, dt, LOCAL)
+                phi = tuple(p + (cm + d + cl) * 1e-30 for p in phi)
+                return phi, None
+            phi, _ = jax.lax.scan(body, fs0.phi, None, length=n)
+            return jnp.sum(phi[0])
+        return jax.jit(go)
+
     # --- DEM substeps only -------------------------------------------------
     hydro = dem.DEMForces(jnp.zeros_like(ps0.vel), jnp.zeros_like(ps0.vel))
     def dem_only(n):
@@ -313,6 +332,7 @@ def main():
     if want("list"): timeit("  neighbor list build", nlist, k=6)
     if want("force"): timeit("  neighbor force eval (x1)", nforce, k=8)
     if want("fluid"): timeit("fluid (turb + PIMPLE)", fluid_only, k=6)
+    if want("diags"): timeit("diagnostics (Co+continuity)", diags_only, k=6)
     if want("fpallas"): timeit("fluid (pallas pEqn)", fluid_pallas, k=6)
 
 

@@ -55,6 +55,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    # the kernels hold C-channel accumulators plus 3 halo plane views per
+    # grid step (~25-30 MB at 128^3); Mosaic's default 16 MB scoped-VMEM
+    # budget is a soft limit well under the v5e's 128 MiB physical VMEM
+    _COMPILER_KW = dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024))
+except Exception:  # pragma: no cover
+    _COMPILER_KW = {}
+
 from . import coupling as cp
 from .dem import rank_in_sorted_segments
 from .grid import Grid
@@ -229,6 +239,7 @@ def interp_planes(
                                lambda i: (0, 0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((C_in + 1, cap, nx, ny, nz), F.dtype),
         interpret=interpret,
+        **({} if interpret else _COMPILER_KW),
     )(Fp, Fp, Fp, posact)
     out = out.reshape(C_in + 1, cap, grid.ncells)
     return out[:C_in], out[C_in]
@@ -298,6 +309,7 @@ def deposit_planes(
                                lambda i: (0, 0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_combo, C_out, nx, ny, nz), V.dtype),
         interpret=interpret,
+        **({} if interpret else _COMPILER_KW),
     )(posact, Vp)
 
     out = None
