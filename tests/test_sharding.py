@@ -203,3 +203,35 @@ def test_halo_pad_matches_bc_pad():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected[1:-1]), rtol=1e-6,
         )
+
+
+def test_gaussian_planes_sharded_matches_single():
+    """Plane-dense exchange under sharding (slab Pallas kernels in
+    interpret mode + ring deposit halo) vs the single-device planes run."""
+    import dataclasses as _dc
+    cfg = _gaussian_cfg()
+    cfg = _dc.replace(
+        cfg, coupling=_dc.replace(cfg.coupling, lag_alpha=True,
+                                  exchange="planes", slot_capacity=6),
+    )
+    rng = np.random.RandomState(1)
+    pos = rng.uniform(0.003, 0.013, (24, 3))
+    state = _initial_state(cfg, pos, 4e-4)
+    n = 4
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.alpha), np.asarray(s1.fluid.alpha),
+        rtol=1e-4, atol=1e-6,
+    )
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u),
+        rtol=1e-2, atol=1e-5,
+    )
+    assert int(d8.n_found[-1]) == 24
+    assert int(d8.n_coupling_overflow[-1]) == 0

@@ -84,14 +84,25 @@ class PlaneBins(NamedTuple):
     n_overflow: jnp.ndarray   # int32
 
 
-def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int) -> PlaneBins:
+def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
+                         x_start=None, n_loc: Optional[int] = None) -> PlaneBins:
+    """Bin into the full grid, or — given ``x_start`` (traced shard slab
+    origin plane) and ``n_loc`` — into this shard's x-slab; particles
+    outside the slab are invalid (the owner-shard mask of the sparse
+    sharded exchange)."""
     N = pf.pos.shape[0]
-    ncells = grid.ncells
+    nx, ny, nz = grid.shape
+    if n_loc is not None:
+        nx = n_loc
+    ncells = nx * ny * nz
 
     base, inside = cp.locate(pf.pos, grid)
     valid = pf.active & inside
-    nx, ny, nz = grid.shape
-    cell = base[:, 0] * (ny * nz) + base[:, 1] * nz + base[:, 2]
+    bx = base[:, 0]
+    if x_start is not None:
+        bx = bx - x_start
+        valid = valid & (bx >= 0) & (bx < nx)
+    cell = bx * (ny * nz) + base[:, 1] * nz + base[:, 2]
     cell = jnp.where(valid, cell, ncells)
 
     order = jnp.argsort(cell)
@@ -124,20 +135,24 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int) -> PlaneBi
 # ---------------------------------------------------------------------------
 
 def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
-                        dtype):
+                        dtype, x_off=None):
     """Yield (raw Gaussian weight (cap, ny, nz), offset) one offset at a
     time for one x-plane, with wall-axis domain masks. `pos` = [px, py,
     pz, act] as (cap, ny, nz) arrays. Generator so kernels keep a single
-    weight array live (all S at once overflows scoped VMEM)."""
+    weight array live (all S at once overflows scoped VMEM). ``x_off``
+    (traced scalar) maps the local plane index to the global x plane for
+    slab (sharded) execution."""
     h_mean = float(np.cbrt(grid.cell_volume))
     sigma = cp.SIGMA_OVER_RANGE * cp.INTERP_RANGE_CELLS * h_mean
     inv2s2 = float(1.0 / (2.0 * sigma * sigma))
     hx, hy, hz = (float(s) for s in grid.spacing)
     ox, oy, oz = (float(o) for o in grid.origin)
-    nx = grid.shape[0]
+    nx = grid.shape[0]                        # GLOBAL plane count
 
     iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
     iz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+    if x_off is not None:
+        i = i + x_off
     xi = i.astype(dtype)
 
     px, py, pz = pos[0], pos[1], pos[2]
@@ -167,8 +182,9 @@ def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
 # Kernel A: slot interpolation (gather side)
 # ---------------------------------------------------------------------------
 
-def _interp_kernel(fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
+def _interp_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
                    grid: Grid, periodic, offsets, cap, C_in):
+    # xoff_ref: (1,) int32 — global plane offset of this slab (0 unsharded)
     # fm/f0/fp: (C_in, 1, ny+2, nz+2) padded planes i, i+1, i+2
     # pos_ref:  (4, cap, 1, ny, nz)  [px py pz act]
     # out_ref:  (C_in+1, cap, 1, ny, nz): interpolated inputs + weight norm
@@ -186,7 +202,7 @@ def _interp_kernel(fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
     acc = [None] * C_in
     norm = None
     for w, o in _iter_weights_plane(pos, i, grid, periodic, offsets,
-                                    ny, nz, dtype):
+                                    ny, nz, dtype, x_off=xoff_ref[0]):
         dx, dy, dz = (int(v) for v in o)
         norm = w if norm is None else norm + w
         for c in range(C_in):
@@ -199,6 +215,61 @@ def _interp_kernel(fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
     out_ref[C_in, :, 0] = norm
 
 
+def interp_planes_padded(
+    Fp: jnp.ndarray,           # (C_in, nxl+2, ny+2, nz+2) ghost-padded stack
+    D: jnp.ndarray,            # (8, cap, nxl*ny*nz) slot planes
+    grid: Grid,                # GLOBAL grid (coordinates / wall masks)
+    periodic: Tuple[bool, bool, bool],
+    cfg: cp.CouplingConfig,
+    x_off,                     # traced/int global plane offset of this slab
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> G (C_in, cap, nloc_cells) normalized slot interpolants, norm."""
+    C_in = Fp.shape[0]
+    nxl, ny, nz = Fp.shape[1] - 2, Fp.shape[2] - 2, Fp.shape[3] - 2
+    cap = cfg.slot_capacity
+    offsets = cp.stencil_offsets(cfg)
+
+    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nxl, ny, nz)
+    xoff_arr = jnp.asarray([x_off], jnp.int32)
+
+    kernel = partial(_interp_kernel, grid=grid, periodic=periodic,
+                     offsets=offsets, cap=cap, C_in=C_in)
+    smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
+            else {})
+    out = pl.pallas_call(
+        kernel,
+        grid=(nxl,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), **smem),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
+            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((C_in + 1, cap, 1, ny, nz),
+                               lambda i: (0, 0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((C_in + 1, cap, nxl, ny, nz), Fp.dtype),
+        interpret=interpret,
+        **({} if interpret else _COMPILER_KW),
+    )(xoff_arr, Fp, Fp, Fp, posact)
+    out = out.reshape(C_in + 1, cap, nxl * ny * nz)
+    return out[:C_in], out[C_in]
+
+
+def pad_wrap_zero(F: jnp.ndarray, periodic) -> jnp.ndarray:
+    """Single-device ghost ring: wrap on periodic axes (real wrapped
+    values), zero on wall axes (never read — wall-offset weights are
+    masked)."""
+    Fp = F
+    for a in range(3):
+        pads = [(0, 0)] * 4
+        pads[a + 1] = (1, 1)
+        Fp = jnp.pad(Fp, pads, mode="wrap" if periodic[a] else "constant")
+    return Fp
+
+
 def interp_planes(
     F: jnp.ndarray,            # (C_in, nx, ny, nz) stacked input fields
     D: jnp.ndarray,            # (8, cap, ncells) slot planes
@@ -209,52 +280,20 @@ def interp_planes(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> G (C_in, cap, ncells) normalized slot interpolants, norm (cap, ncells)."""
-    C_in = F.shape[0]
-    nx, ny, nz = grid.shape
-    cap = cfg.slot_capacity
-    offsets = cp.stencil_offsets(cfg)
-
-    # ghost ring: wrap on periodic axes (real wrapped values), zero on wall
-    # axes (never read — wall-offset weights are masked)
-    Fp = F
-    for a in range(3):
-        pads = [(0, 0)] * 4
-        pads[a + 1] = (1, 1)
-        Fp = jnp.pad(Fp, pads, mode="wrap" if periodic[a] else "constant")
-
-    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nx, ny, nz)
-
-    kernel = partial(_interp_kernel, grid=grid, periodic=periodic,
-                     offsets=offsets, cap=cap, C_in=C_in)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nx,),
-        in_specs=[
-            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
-            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
-            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((C_in + 1, cap, 1, ny, nz),
-                               lambda i: (0, 0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((C_in + 1, cap, nx, ny, nz), F.dtype),
-        interpret=interpret,
-        **({} if interpret else _COMPILER_KW),
-    )(Fp, Fp, Fp, posact)
-    out = out.reshape(C_in + 1, cap, grid.ncells)
-    return out[:C_in], out[C_in]
+    return interp_planes_padded(pad_wrap_zero(F, periodic), D, grid,
+                                periodic, cfg, 0, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
 # Kernel B: slot deposit (scatter side)
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(pos_ref, v_ref, out_ref, *, grid: Grid, periodic,
-                    offsets, combos, cap, C_out):
-    # pos_ref: (4, cap, 1, ny, nz); v_ref: (C_out, cap, 1, ny, nz) — v is
-    # PRE-normalized (V * inv_norm, computed in XLA from kernel A's norm),
-    # so a single raw-weight pass suffices and only one weight array is
-    # live at a time (VMEM budget).
+def _deposit_kernel(xoff_ref, pos_ref, v_ref, out_ref, *, grid: Grid,
+                    periodic, offsets, combos, cap, C_out):
+    # xoff_ref: (1,) int32 slab offset; pos_ref: (4, cap, 1, ny, nz);
+    # v_ref: (C_out, cap, 1, ny, nz) — v is PRE-normalized (V * inv_norm,
+    # computed in XLA from kernel A's norm), so a single raw-weight pass
+    # suffices and only one weight array is live at a time (VMEM budget).
     ny, nz = out_ref.shape[3], out_ref.shape[4]
     i = pl.program_id(0)
     dtype = out_ref.dtype
@@ -262,7 +301,7 @@ def _deposit_kernel(pos_ref, v_ref, out_ref, *, grid: Grid, periodic,
     pos = [pos_ref[c, :, 0] for c in range(4)]
     acc = {}
     for w, o in _iter_weights_plane(pos, i, grid, periodic, offsets,
-                                    ny, nz, dtype):
+                                    ny, nz, dtype, x_off=xoff_ref[0]):
         combo = (int(o[0]), int(o[1]))
         dz = int(o[2])
         for c in range(C_out):
@@ -276,6 +315,51 @@ def _deposit_kernel(pos_ref, v_ref, out_ref, *, grid: Grid, periodic,
             out_ref[ci, c, 0] = acc[(combo, c)]
 
 
+def deposit_stacks(
+    V: jnp.ndarray,            # (C_out, cap, nloc_cells) per-slot values
+    D: jnp.ndarray,            # (8, cap, nloc_cells)
+    nxl: int,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    cfg: cp.CouplingConfig,
+    x_off,
+    *,
+    interpret: bool = False,
+):
+    """Kernel half of the deposit: per-(dx,dy) output stacks (dz applied
+    in-kernel). Returns (stks (n_combo, C_out, nxl, ny, nz), combos)."""
+    C_out = V.shape[0]
+    ny, nz = grid.shape[1], grid.shape[2]
+    cap = cfg.slot_capacity
+    offsets = cp.stencil_offsets(cfg)
+    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
+    n_combo = len(combos)
+
+    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nxl, ny, nz)
+    Vp = V.reshape(C_out, cap, nxl, ny, nz)
+    xoff_arr = jnp.asarray([x_off], jnp.int32)
+
+    kernel = partial(_deposit_kernel, grid=grid, periodic=periodic,
+                     offsets=offsets, combos=combos, cap=cap, C_out=C_out)
+    smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
+            else {})
+    stks = pl.pallas_call(
+        kernel,
+        grid=(nxl,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), **smem),
+            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+            pl.BlockSpec((C_out, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_combo, C_out, 1, ny, nz),
+                               lambda i: (0, 0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_combo, C_out, nxl, ny, nz), V.dtype),
+        interpret=interpret,
+        **({} if interpret else _COMPILER_KW),
+    )(xoff_arr, posact, Vp)
+    return stks, combos
+
+
 def deposit_planes(
     V: jnp.ndarray,            # (C_out, cap, ncells) per-slot deposit values
     D: jnp.ndarray,            # (8, cap, ncells)
@@ -286,32 +370,9 @@ def deposit_planes(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """-> (C_out, nx, ny, nz) deposited fields (weights applied inside)."""
-    C_out = V.shape[0]
-    nx, ny, nz = grid.shape
-    cap = cfg.slot_capacity
-    offsets = cp.stencil_offsets(cfg)
-    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
-    n_combo = len(combos)
-
-    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nx, ny, nz)
-    Vp = V.reshape(C_out, cap, nx, ny, nz)
-
-    kernel = partial(_deposit_kernel, grid=grid, periodic=periodic,
-                     offsets=offsets, combos=combos, cap=cap, C_out=C_out)
-    stks = pl.pallas_call(
-        kernel,
-        grid=(nx,),
-        in_specs=[
-            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
-            pl.BlockSpec((C_out, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((n_combo, C_out, 1, ny, nz),
-                               lambda i: (0, 0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_combo, C_out, nx, ny, nz), V.dtype),
-        interpret=interpret,
-        **({} if interpret else _COMPILER_KW),
-    )(posact, Vp)
-
+    nx = grid.shape[0]
+    stks, combos = deposit_stacks(V, D, nx, grid, periodic, cfg, 0,
+                                  interpret=interpret)
     out = None
     for ci, (dx, dy) in enumerate(combos):
         v = stks[ci]

@@ -266,10 +266,113 @@ def _sharded_support_ops(
                          dep_outer), w
 
 
+def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
+    """Sharded plane-dense exchange: each shard bins its slab population
+    into channel-major slot planes, runs the fused Pallas interp/deposit
+    kernels on its slab (ghost fluid planes from the ring, global-edge
+    wall masks via the slab's global x offset), and completes cross-slab
+    deposits with one ppermute halo add — the slab analog of the
+    single-device `ops/coupling_planes.gaussian_coupling_planes`."""
+    import jax as _jax
+
+    from ..ops import coupling_planes as cpp
+
+    grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
+    ccfg = cfg.coupling
+    assert ccfg.lag_alpha and not ccfg.use_torque, (
+        "planes exchange: lag_alpha required, torque via sparse path")
+    periodic = bcs.periodic_axes()
+    gbc = _gather_bc(bcs)
+    ny, nz = grid.shape[1], grid.shape[2]
+    Vc = grid.cell_volume
+    cap = ccfg.slot_capacity
+
+    def ex(fs, ps, dt) -> cp.CouplingResult:
+        interpret = _jax.default_backend() != "tpu"
+        curl_u, grad_p, div_tau, ddt_u = cd._coupling_inputs(
+            fs, grid, bcs, tp.nu, dt, ctx, ccfg
+        )
+        pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
+        start = lax.axis_index(AXIS) * n_loc
+        bins = cpp.bin_particles_planes(pf, grid, cap,
+                                        x_start=start, n_loc=n_loc)
+
+        comps = [fs.u, grad_p, div_tau]
+        if ccfg.use_added_mass:
+            comps.append(ddt_u)
+        chans = []
+        for comp in comps:
+            for c in range(3):
+                chans.append(ctx.pad_s(comp[c], gbc))
+        chans.append(ctx.pad_s(fs.alpha, gbc))
+        Fp = jnp.stack(chans)                       # (C_in, n_loc+2, ny+2, nz+2)
+
+        G, norm = cpp.interp_planes_padded(Fp, bins.D, grid, periodic, ccfg,
+                                           start, interpret=interpret)
+        V, force, torque, found = cpp._physics_planes(
+            bins.D, G, norm, Vc, tp.nu, tp.rho_f, ccfg
+        )
+        inv_norm = jnp.where(norm > 0.0,
+                             1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+        stks, combos = cpp.deposit_stacks(
+            V * inv_norm[None], bins.D, n_loc, grid, periodic, ccfg, start,
+            interpret=interpret,
+        )
+
+        # epilogue: dy rolls are slab-local; dx shifts land in a halo-
+        # extended slab completed by one ring exchange (cf. dep_stack)
+        C_out = stks.shape[1]
+        ext = jnp.zeros((C_out, n_loc + 2, ny, nz), stks.dtype)
+        for ci, (dx, dy) in enumerate(combos):
+            v = stks[ci]
+            if dy:
+                v = jnp.roll(v, dy, axis=2)
+            ext = ext.at[:, 1 + dx: 1 + dx + n_loc].add(v)
+        n_sh = lax.axis_size(AXIS)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        from_left = lax.ppermute(ext[:, -1:], AXIS, fwd)
+        from_right = lax.ppermute(ext[:, :1], AXIS, bwd)
+        out = ext[:, 1:-1]
+        out = out.at[:, 0].add(from_left[:, 0])
+        out = out.at[:, -1].add(from_right[:, 0])
+
+        pvol, up = out[0], out[1:4]
+        alpha = jnp.maximum(1.0 - pvol / Vc, ccfg.alpha_min)
+        u_particle = up / Vc
+        u_source_drag = out[4]
+        u_source = u_source_drag[None] * u_particle + out[5:8]
+
+        # unbin (slab-local)
+        N = pf.pos.shape[0]
+        ncl = n_loc * ny * nz
+        per = jnp.concatenate([force, torque,
+                               found.astype(force.dtype)[None]])
+        tr = per.reshape(7 * cap, ncl).T
+        rows = jnp.minimum(bins.cell_sorted, ncl - 1)
+        g = tr[rows].reshape(N, 7, cap)
+        sel = ((bins.rank[:, None] == jnp.arange(cap)[None, :])
+               & bins.keep[:, None]).astype(g.dtype)
+        res_sorted = jnp.einsum("nck,nk->nc", g, sel)
+        res = res_sorted[bins.inv_order]
+
+        return cp.CouplingResult(
+            force=res[:, 0:3], torque=res[:, 3:6],
+            alpha=alpha, u_particle=u_particle,
+            u_source=u_source, u_source_drag=u_source_drag,
+            found=res[:, 6] > 0.5,
+            n_overflow=bins.n_overflow,
+        )
+
+    return ex
+
+
 def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
     """Owner-shard coupling exchange closure for `coupled_step`."""
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
+    if ccfg.gaussian and ccfg.exchange == "planes":
+        return _make_planes_exchange(cfg, ctx, n_loc)
 
     def ex(fs, ps, dt) -> cp.CouplingResult:
         curl_u, grad_p, div_tau, ddt_u = cd._coupling_inputs(
