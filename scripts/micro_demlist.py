@@ -95,6 +95,15 @@ def main():
         if upto == "transpose":
             return candT[::1013].astype(jnp.float32)
 
+        if upto in ("reshapeN", "gatherN"):
+            # variant: relayout the table to (nbin, cap*27) rows and fetch
+            # ONE row per particle instead of cap consecutive rows
+            tblN = candT.reshape(nbin, cap * 27)
+            if upto == "reshapeN":
+                return tblN[::1013, ::7].astype(jnp.float32)
+            cand = tblN[jnp.minimum(bin_of, nbin - 1)]
+            return cand[:, ::7].astype(jnp.float32)
+
         rows = (jnp.minimum(bin_of, nbin - 1)[:, None] * cap
                 + jnp.arange(cap, dtype=jnp.int32)[None, :])
         cand = candT[rows.reshape(-1)].reshape(N, cap * 27)
@@ -134,7 +143,7 @@ def main():
         if a.startswith("--only="):
             sel = a.split("=", 1)[1].split(",")
     stages = ["hash", "sort", "rank", "table", "rolls", "transpose",
-              "gather", "full"]
+              "gather", "reshapeN", "gatherN", "full"]
     for s in stages:
         if sel is None or s in sel:
             timeit(f"upto {s}", s)

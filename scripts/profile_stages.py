@@ -208,6 +208,59 @@ def main():
             return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
         return jax.jit(go)
 
+    # --- ablations: step with exchange / DEM stubbed out ---------------------
+    def _stub_exchange(fs, ps, dt):
+        N = ps.pos.shape[0]
+        z3 = jnp.zeros((N, 3), jnp.float32)
+        return cp.CouplingResult(
+            force=z3, torque=z3, alpha=fs.alpha,
+            u_particle=fs.u_particle, u_source=fs.u_source,
+            u_source_drag=fs.u_source_drag,
+            found=ps.active, n_overflow=jnp.int32(0),
+        )
+
+    def _stub_dem(ps, hydro, dt_dem):
+        return ps.pos, ps.vel, ps.angvel, jnp.int32(0)
+
+    import collections as _col
+    _Info = _col.namedtuple("Info", "iters initial_residual final_residual")
+
+    def _stub_fluid(fs, dtv):
+        z = jnp.float32(0.0)
+        return fs, _Info(jnp.int32(0), z, z)
+
+    def _make_ablated(exchange_fn=None, dem_fn=None, fluid_fn=None):
+        def make(n):
+            def go():
+                def body(s, _):
+                    s2, d = cd.coupled_step(s, cfg_planes,
+                                            exchange_fn=exchange_fn,
+                                            dem_fn=dem_fn,
+                                            fluid_fn=fluid_fn)
+                    return s2, None
+                out, _ = jax.lax.scan(body, state, None, length=n)
+                return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
+            return jax.jit(go)
+        return make
+
+    # --- pressure solve only --------------------------------------------------
+    def pressure_only(n):
+        from yade_openfoam_coupling_tpu.ops import stencil as st_mod
+        from yade_openfoam_coupling_tpu.ops.grid import FieldBC
+        alpha_f = st_mod.face_interp(fs0.alpha, FieldBC.uniform("neumann"),
+                                     grid)
+        rhs0 = jnp.asarray(np.random.RandomState(3).randn(*grid.shape),
+                           jnp.float32) * 1e-3
+        def go():
+            def body(rhs, _):
+                res = pr.solve_pressure(
+                    alpha_f, rhs, jnp.zeros_like(rhs), grid, cfg.bcs.p,
+                    cfg.pimple.pressure)
+                return rhs + res.x * 1e-30, None
+            rhs, _ = jax.lax.scan(body, rhs0, None, length=n)
+            return jnp.sum(rhs)
+        return jax.jit(go)
+
     # --- diagnostics (Courant + continuity + new_dt) -------------------------
     def diags_only(n):
         from yade_openfoam_coupling_tpu.utils.diagnostics import (
@@ -333,6 +386,10 @@ def main():
     if want("force"): timeit("  neighbor force eval (x1)", nforce, k=8)
     if want("fluid"): timeit("fluid (turb + PIMPLE)", fluid_only, k=6)
     if want("diags"): timeit("diagnostics (Co+continuity)", diags_only, k=6)
+    if want("noexch"): timeit("step w/o exchange", _make_ablated(exchange_fn=_stub_exchange), k=6)
+    if want("nodem"): timeit("step w/o DEM", _make_ablated(dem_fn=_stub_dem), k=6)
+    if want("nofluid"): timeit("step w/o fluid", _make_ablated(fluid_fn=_stub_fluid), k=6)
+    if want("psolve"): timeit("pressure solve only", pressure_only, k=6)
     if want("fpallas"): timeit("fluid (pallas pEqn)", fluid_pallas, k=6)
 
 

@@ -186,6 +186,7 @@ def coupled_step(
     ctx=None,
     exchange_fn=None,
     dem_fn=None,
+    fluid_fn=None,
 ) -> Tuple[SimState, StepDiagnostics]:
     """Advance the coupled system one fluid time step.
 
@@ -251,7 +252,10 @@ def coupled_step(
 
     # 5. fluid step
     u_prev = fs.u
-    if cfg.solver == "piso":
+    if fluid_fn is not None:
+        fs2, info = fluid_fn(fs, dt)
+        tb2 = tb
+    elif cfg.solver == "piso":
         fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso, ctx=ctx)
         tb2 = tb
     elif cfg.solver == "pimple":
