@@ -1,0 +1,46 @@
+"""Graduated benchmark ladder (BASELINE.md configs #2 and #3) on real TPU.
+
+#2: 500-sphere sedimentation cloud (PISO point-force + contacts, 32^3)
+#3: 10k-particle inlet-driven fluidized bed (PIMPLE 4-way + kEqn, 24x24x48)
+
+(#1 is a validation case; #4 is bench.py; #5 is scripts/bench_1m.py.)
+Prints one JSON line per config.
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/yofc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+
+    from yade_openfoam_coupling_tpu.cases import builders as cb
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+
+    def run(name, cfg, state, n_steps=50, reps=3):
+        runf = cd.make_scan_fn(cfg, n_steps)
+        state2, _ = runf(state)
+        float(jnp.sum(state2.fluid.p) + jnp.sum(state2.particles.pos))
+        t0 = time.perf_counter()
+        s = state2
+        for _ in range(reps):
+            s, _ = runf(s)
+        float(jnp.sum(s.fluid.p) + jnp.sum(s.particles.pos))
+        dt_wall = (time.perf_counter() - t0) / (reps * n_steps)
+        print(json.dumps({
+            "metric": name, "value": round(1.0 / dt_wall, 2),
+            "unit": "steps/sec",
+        }), flush=True)
+
+    cfg, state, _ = cb.sedimentation_cloud()
+    run("ladder #2: 500-sphere sedimentation (PISO, 32^3)", cfg, state)
+
+    cfg, state, _ = cb.fluidized_bed()
+    run("ladder #3: 10k fluidized bed (PIMPLE 4-way + kEqn)", cfg, state)
+
+
+if __name__ == "__main__":
+    main()

@@ -543,6 +543,7 @@ def build_neighbor_list(
             for o in offs_np
         ]                                                  # 27 x (nbin*cap,)
         candT = jnp.stack(parts).T                         # (nbin*cap, 27)
+        cand_rows = candT.reshape(nbin, cap * 27)          # row per bin
         nb_bin = jnp.zeros((N, 27), jnp.int32)            # unused placeholder
         table = None
     else:
@@ -560,13 +561,11 @@ def build_neighbor_list(
     def compact_block(args):
         bin_b, nb_b, act_b, self_b = args                 # (n,), (n,27), (n,), (n,1)
         if use_dense:
-            # cap consecutive rows per particle (27-channel payload each);
-            # inactive particles (bin_b == nbin) clip to an arbitrary real
-            # row and are masked out through act_b below
-            n_b = bin_b.shape[0]
-            rows = (jnp.minimum(bin_b, nbin - 1)[:, None] * cap
-                    + jnp.arange(cap, dtype=jnp.int32)[None, :])
-            cand = candT[rows.reshape(-1)].reshape(n_b, cap * 27)
+            # ONE row per particle from the (nbin, cap*27) relayout of the
+            # transposed table (measured ~1.2 ms cheaper than cap
+            # consecutive rows); inactive particles (bin_b == nbin) clip
+            # to an arbitrary real row and are masked out through act_b
+            cand = cand_rows[jnp.minimum(bin_b, nbin - 1)]
         else:
             cand = table[nb_b].reshape(nb_b.shape[0], 27 * cap)
         valid = (cand != N) & (cand != self_b) & act_b[:, None]
