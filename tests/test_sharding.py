@@ -235,3 +235,41 @@ def test_gaussian_planes_sharded_matches_single():
     )
     assert int(d8.n_found[-1]) == 24
     assert int(d8.n_coupling_overflow[-1]) == 0
+
+
+def test_shear_history_sharded_matches_single():
+    """Pid-keyed shear springs under sharding: migration and ghost
+    reshuffles must not orphan contact history (1-vs-8 equivalence)."""
+    import dataclasses as _dc
+    cfg = _gaussian_cfg()
+    cfg = _dc.replace(
+        cfg,
+        dem=_dc.replace(cfg.dem, neighbor="cells", cell_capacity=8,
+                        max_neighbors=8, shear_history=True,
+                        cundall_damping=0.2, skin=0.1,
+                        params=_dc.replace(cfg.dem.params, kn=100.0,
+                                           friction=0.4)),
+    )
+    # a settling chain resting on the floor, spanning several slab
+    # boundaries (slabs are 2 mm wide): gravity confines the pile so the
+    # particle and wall contacts PERSIST, exercising pid-keyed spring
+    # carry through ghost exchange and migration
+    r = 4e-4
+    xs = 0.002 + np.arange(16) * 1.9 * r        # overlapping chain in x
+    pos = np.column_stack([
+        xs, np.full(16, 8e-3), np.full(16, r * 0.98)])
+    radius = np.full(16, r)
+    state = _initial_state(cfg, pos, radius)
+    n = 5
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(p8["vel"], p1["vel"], rtol=1e-3, atol=1e-7)
+    # the boundary-straddling contacts must actually persist (engaged
+    # springs), or this equivalence would be vacuous
+    assert float(jnp.sum(jnp.abs(s1.particles.shear_xi))) > 0.0
+    assert float(jnp.sum(jnp.abs(s8.particles.shear_xi))) > 0.0

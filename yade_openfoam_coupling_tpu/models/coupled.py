@@ -238,6 +238,7 @@ def coupled_step(
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
                 shear=demod.ShearState(ps.shear_xi, ps.shear_ids,
                                        ps.shear_wall),
+                pid=ps.pid,
             )
             ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                              shear_wall=sh.xi_wall)
@@ -246,6 +247,10 @@ def coupled_step(
                 ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
             )
+    elif cfg.dem.shear_history:
+        pos, vel, angvel, n_overflow, sh = dem_fn(ps, hydro, dt_dem)
+        ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
+                         shear_wall=sh.xi_wall)
     else:
         pos, vel, angvel, n_overflow = dem_fn(ps, hydro, dt_dem)
     ps = ps._replace(pos=pos, vel=vel, angvel=angvel)

@@ -205,33 +205,45 @@ class ShearState(NamedTuple):
     Yade's default contact law integrates a tangential displacement per
     persistent contact (`shearForce` in Law2_ScGeom_FrictPhys_
     CundallStrack); the fixed-shape equivalent keys the history on the
-    Verlet-list slots and carries it across rebuilds by neighbor-id match
-    (ids are local slot indices — stable on a single device; under shard
-    migration a moved particle's history restarts at zero, documented).
-    Wall contacts keep one history slot per axis (the wall's identity —
-    Yade walls/facets keep the same per-contact state)."""
+    Verlet-list slots and carries it across rebuilds by PARTNER-KEY match:
+    the key is the partner's stable pid when the caller provides pids
+    (required under shard migration/ghosting, where local indices
+    reshuffle), or the local index otherwise. -1 marks empty slots. Wall
+    contacts keep one history slot per axis (the wall's identity — Yade
+    walls/facets keep the same per-contact state)."""
 
     xi: jnp.ndarray        # (N, M, 3) tangential spring displacement
-    ids: jnp.ndarray       # (N, M) int32 neighbor ids the xi rows belong to
+    ids: jnp.ndarray       # (N, M) int32 partner keys (-1 = empty)
     xi_wall: jnp.ndarray   # (N, 3, 3) wall-contact springs, one per axis
 
 
 def make_shear_state(n: int, max_neighbors: int, dtype=jnp.float32) -> ShearState:
     return ShearState(
         xi=jnp.zeros((n, max_neighbors, 3), dtype),
-        ids=jnp.full((n, max_neighbors), n, jnp.int32),
+        ids=jnp.full((n, max_neighbors), -1, jnp.int32),
         xi_wall=jnp.zeros((n, 3, 3), dtype),
     )
 
 
-def carry_shear(old: ShearState, new_ids: jnp.ndarray) -> jnp.ndarray:
-    """Match each new neighbor slot against the old list and carry its
-    spring displacement; unmatched (new or vanished) contacts start at
-    zero. Dense (N, M_new, M_old) compare — no gathers."""
-    N, M_old = old.ids.shape
-    match = (new_ids[:, :, None] == old.ids[:, None, :]) & (
-        old.ids[:, None, :] < N
-    )
+def shear_keys(nbr: jnp.ndarray, n_valid: int,
+               pid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Partner keys for a neighbor-id array: pid[nbr] when pids are given
+    (stable across shard migration/ghost reshuffles), else the local
+    index; -1 for empty slots. `pid` must cover every id < n_valid."""
+    if pid is None:
+        return jnp.where(nbr >= n_valid, -1, nbr)
+    pid_ext = jnp.concatenate([pid, jnp.full((1,), -1, jnp.int32)])
+    keys = pid_ext[jnp.minimum(nbr, pid.shape[0])]
+    return jnp.where(nbr >= n_valid, jnp.int32(-1), keys)
+
+
+def carry_shear(old: ShearState, new_keys: jnp.ndarray) -> jnp.ndarray:
+    """Match each new neighbor slot's partner key against the old list and
+    carry its spring displacement; unmatched (new or vanished) contacts
+    start at zero. Dense (N, M_new, M_old) compare — no gathers."""
+    match = (new_keys[:, :, None] == old.ids[:, None, :]) & (
+        old.ids[:, None, :] >= 0
+    ) & (new_keys[:, :, None] >= 0)
     return jnp.einsum(
         "nmo,noc->nmc", match.astype(old.xi.dtype), old.xi
     )
@@ -783,6 +795,7 @@ def dem_substeps(
     n_sub: int,
     r_max: float,
     shear: Optional[ShearState] = None,
+    pid: Optional[jnp.ndarray] = None,
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
@@ -876,7 +889,8 @@ def dem_substeps(
             nbr, overflow = build_neighbor_list(
                 pos, active, grid, cfg, r_max, return_overflow=True
             )
-            xi = carry_shear(sh, nbr)
+            keys = shear_keys(nbr, pos.shape[0], pid)
+            xi = carry_shear(sh, keys)
             xw = sh.xi_wall
             # dt=0: force at the current state, springs projected only
             a0, aw0, xi, xw = eval_h(nbr, pos, vel, angvel, xi, xw, 0.0)
@@ -899,7 +913,7 @@ def dem_substeps(
             (pos, vel, angvel, _, _, xi, xw), _ = jax.lax.scan(
                 body, (pos, vel, angvel, a0, aw0, xi, xw), None, length=every
             )
-            return (pos, vel, angvel, ShearState(xi, nbr, xw)), overflow
+            return (pos, vel, angvel, ShearState(xi, keys, xw)), overflow
 
         (pos, vel, angvel, shear), overflows = jax.lax.scan(
             chunk_h, (pos, vel, angvel, shear), None, length=n_chunks

@@ -97,9 +97,14 @@ def migrate(ps: ParticleState, grid: Grid, geom: SlabGeom, K: int):
     ids_r, val_r, over_r = _select_rows(go_right, K)
     ids_l, val_l, over_l = _select_rows(go_left, K)
 
-    payload = jnp.concatenate(
-        [ps.pos, ps.vel, ps.angvel, ps.radius[:, None]], axis=-1
-    )                                          # (N,10) float
+    has_shear = ps.shear_xi is not None
+    fparts = [ps.pos, ps.vel, ps.angvel, ps.radius[:, None]]
+    if has_shear:
+        Np, M = ps.shear_ids.shape
+        fparts += [ps.shear_xi.reshape(Np, 3 * M),
+                   ps.shear_wall.reshape(Np, 9),
+                   ps.shear_ids.astype(ps.pos.dtype)]  # pid keys fit f32 ints
+    payload = jnp.concatenate(fparts, axis=-1)  # (N, 10 [+4M+9]) float
     N = payload.shape[0]
 
     fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
@@ -140,6 +145,16 @@ def migrate(ps: ParticleState, grid: Grid, geom: SlabGeom, K: int):
     def put(dst, src):
         return dst.at[tgt].set(src, mode="drop")
 
+    kw = {}
+    if has_shear:
+        kw = dict(
+            shear_xi=put(ps.shear_xi,
+                         arr_buf[:, 10:10 + 3 * M].reshape(-1, M, 3)),
+            shear_wall=put(ps.shear_wall,
+                           arr_buf[:, 10 + 3 * M:19 + 3 * M].reshape(-1, 3, 3)),
+            shear_ids=put(ps.shear_ids,
+                          arr_buf[:, 19 + 3 * M:].astype(jnp.int32)),
+        )
     ps_new = ParticleState(
         pos=put(ps.pos, arr_buf[:, 0:3]),
         vel=put(ps.vel, arr_buf[:, 3:6]),
@@ -147,6 +162,7 @@ def migrate(ps: ParticleState, grid: Grid, geom: SlabGeom, K: int):
         radius=put(ps.radius, arr_buf[:, 9]),
         active=active.at[tgt].set(place_ok, mode="drop"),
         pid=put(ps.pid, arr_pid),
+        **kw,
     )
     return ps_new, over_r + over_l + n_dropped
 
@@ -193,18 +209,22 @@ def plan_ghosts(pos, active, grid: Grid, geom: SlabGeom, gw: float,
                      over_lo + over_hi)
 
 
-def fetch_ghosts(plan: GhostPlan, pos, vel, angvel, radius, geom: SlabGeom):
+def fetch_ghosts(plan: GhostPlan, pos, vel, angvel, radius, geom: SlabGeom,
+                 pid=None):
     """Exchange current values of the planned ghost set: (2K, ...) arrays.
-    Called every substep so ghost state tracks the owners exactly."""
+    Called every substep so ghost state tracks the owners exactly. With
+    ``pid`` also returns the ghosts' stable pids (shear-history keys)."""
     name = geom.name
     n_sh = lax.axis_size(name)
     fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
     bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
 
     def pack(ids, valid, shift):
-        buf = jnp.concatenate(
-            [pos, vel, angvel, radius[:, None]], axis=-1
-        )
+        parts = [pos, vel, angvel, radius[:, None]]
+        if pid is not None:
+            # pids < 2^24 carry exactly in f32
+            parts.append(pid.astype(pos.dtype)[:, None])
+        buf = jnp.concatenate(parts, axis=-1)
         rows = _rows(buf, ids)
         rows = rows.at[:, 0].add(jnp.where(valid, shift, 0.0))
         return rows, valid
@@ -216,7 +236,11 @@ def fetch_ghosts(plan: GhostPlan, pos, vel, angvel, radius, geom: SlabGeom):
     from_left = lax.ppermute(rows_hi, name, fwd), lax.ppermute(v_hi, name, fwd)
     rows = jnp.concatenate([from_left[0], from_right[0]])
     val = jnp.concatenate([from_left[1], from_right[1]])
-    return (rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9], val)
+    out = (rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9], val)
+    if pid is not None:
+        gpid = jnp.where(val, rows[:, 10].astype(jnp.int32), -1)
+        return out + (gpid,)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +257,7 @@ def dem_substeps_sharded(
     r_max: float,
     geom: SlabGeom,
     K_ghost: int,
+    shear=None,                 # Optional[demod.ShearState]: pid-keyed history
 ):
     """Velocity-Verlet substeps on the local slot array with per-substep
     ghost refresh — the sharded counterpart of `dem.dem_substeps` (exactly
@@ -296,6 +321,19 @@ def dem_substeps_sharded(
             jnp.concatenate([active, gact]),
         )
 
+    # combined-array pids for shear-history keys (ghost slots carry their
+    # owners' stable pids; single-shard: locals only)
+    if shear is not None:
+        assert use_list and cfg.contact_mode == "substep", (
+            "sharded shear_history requires neighbor='cells', "
+            "contact_mode='substep'")
+        if use_ghosts:
+            *_, gpid = fetch_ghosts(plan, pos, vel, angvel, radius, geom,
+                                    pid=ps.pid)
+            apid = jnp.concatenate([ps.pid, gpid])
+        else:
+            apid = ps.pid
+
     apos, avel, aang, arad, aact = all_state(pos, vel, angvel)
     if use_list:
         nbr, n_list_over = demod.build_neighbor_list(
@@ -303,6 +341,56 @@ def dem_substeps_sharded(
         )
     else:
         nbr, n_list_over = None, jnp.int32(0)
+
+    def damp(f, v):
+        d = cfg.cundall_damping
+        if d == 0.0:
+            return f
+        return f * (1.0 - d * jnp.sign(f * v))
+
+    if shear is not None:
+        Nc = apos.shape[0]
+        keys = demod.shear_keys(nbr[:N], Nc, apid)
+        xi0 = demod.carry_shear(shear, keys)
+        xw0 = shear.xi_wall
+
+        def eval_h(apos, avel, aang, xi, xw, dt_):
+            xi_full = jnp.zeros((Nc,) + xi.shape[1:], xi.dtype).at[:N].set(xi)
+            xw_full = jnp.zeros((Nc, 3, 3), xw.dtype).at[:N].set(xw)
+            fc, tc, xi_full2 = demod.neighbor_contact_forces(
+                nbr, apos, avel, aang, arad, aact, grid, cfg, xi_full, dt_
+            )
+            fw, tw, xw_full2 = demod.wall_contact_forces(
+                apos, avel, aang, arad, aact, grid, cfg, xw_full, dt_
+            )
+            vl, al = avel[:N], aang[:N]
+            f = damp((fc + fw)[:N] + f_grav + hydro.force, vl)
+            t = damp((tc + tw)[:N] + hydro.torque, al)
+            return f * inv_m, t * inv_I, xi_full2[:N], xw_full2[:N]
+
+        a0, aw0, xi0, xw0 = eval_h(apos, avel, aang, xi0, xw0, 0.0)
+
+        def body_h(state, _):
+            pos, vel, angvel, a, aw, xi, xw = state
+            vel_h = vel + 0.5 * dt_dem * a
+            angvel_h = angvel + 0.5 * dt_dem * aw
+            pos_n = pos + dt_dem * vel_h
+            lo = jnp.asarray(grid.origin, pos.dtype)
+            L = jnp.asarray(grid.lengths, pos.dtype)
+            per = jnp.asarray(cfg.periodic)
+            pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
+            apos, avel, aang, _, _ = all_state(pos_n, vel_h, angvel_h)
+            a2, aw2, xi2, xw2 = eval_h(apos, avel, aang, xi, xw, dt_dem)
+            vel_n = vel_h + 0.5 * dt_dem * a2
+            angvel_n = angvel_h + 0.5 * dt_dem * aw2
+            return (pos_n, vel_n, angvel_n, a2, aw2, xi2, xw2), None
+
+        (pos, vel, angvel, _, _, xi, xw), _ = lax.scan(
+            body_h, (pos, vel, angvel, a0, aw0, xi0, xw0), None, length=n_sub
+        )
+        n_ghost_over = plan.n_overflow if use_ghosts else jnp.int32(0)
+        return (pos, vel, angvel, n_list_over, n_ghost_over,
+                demod.ShearState(xi, keys, xw))
 
     def accel(apos, avel, aang):
         if nbr is not None:
@@ -316,8 +404,8 @@ def dem_substeps_sharded(
         fw, tw = demod.wall_contact_forces(
             apos, avel, aang, arad, aact, grid, cfg
         )
-        f = (fc + fw)[:N] + f_grav + hydro.force
-        t = (tc + tw)[:N] + hydro.torque
+        f = damp((fc + fw)[:N] + f_grav + hydro.force, avel[:N])
+        t = damp((tc + tw)[:N] + hydro.torque, aang[:N])
         return f * inv_m, t * inv_I
 
     a0, aw0 = accel(apos, avel, aang)

@@ -467,8 +467,13 @@ def state_specs(cfg: cd.CaseConfig):
     )
     from ..models.fields import FluidState, ParticleState, TurbulenceState
     fluid_spec = FluidState(**fluid)
+    shear_kw = {}
+    if cfg.dem.shear_history:
+        shear_kw = dict(shear_xi=P(AXIS), shear_ids=P(AXIS),
+                        shear_wall=P(AXIS))
     part_spec = ParticleState(pos=P(AXIS), vel=P(AXIS), angvel=P(AXIS),
-                              radius=P(AXIS), active=P(AXIS), pid=P(AXIS))
+                              radius=P(AXIS), active=P(AXIS), pid=P(AXIS),
+                              **shear_kw)
     turb_spec = TurbulenceState(k=P(AXIS), epsilon=P(AXIS), nut=P(AXIS))
     return SimState(
         fluid=fluid_spec, particles=part_spec, turb=turb_spec,
@@ -517,6 +522,14 @@ def shard_particles_host(ps, cfg: cd.CaseConfig, n_sh: int, cap_loc: int = 0):
     src = {"pos": pos, "vel": np.asarray(ps.vel),
            "angvel": np.asarray(ps.angvel), "radius": np.asarray(ps.radius),
            "active": act, "pid": np.asarray(ps.pid)}
+    if ps.shear_xi is not None:
+        new["shear_xi"] = alloc(np.asarray(ps.shear_xi))
+        new["shear_wall"] = alloc(np.asarray(ps.shear_wall))
+        new["shear_ids"] = np.full(
+            (n_sh, cap_loc) + ps.shear_ids.shape[1:], -1, np.int32)
+        src["shear_xi"] = np.asarray(ps.shear_xi)
+        src["shear_wall"] = np.asarray(ps.shear_wall)
+        src["shear_ids"] = np.asarray(ps.shear_ids)
     for s in range(n_sh):
         ids = np.where(act & (slab == s))[0]
         if len(ids) > cap_loc:
@@ -566,15 +579,22 @@ def to_sharded_state(state: SimState, cfg: cd.CaseConfig, mesh: Mesh,
 
 def _make_dem_fn(cfg: cd.CaseConfig, geom):
     """Per-shard DEM driver closure for `coupled_step`: ghost-refreshing
-    velocity-Verlet substeps on the local slot population."""
+    velocity-Verlet substeps on the local slot population. With
+    ``shear_history`` the per-contact springs ride along, keyed on stable
+    pids so ghost reshuffles and migration cannot orphan them."""
     from . import particles as pp
 
     if cfg.dem.shear_history:
-        raise NotImplementedError(
-            "shear_history under particle sharding: the history keys on "
-            "local Verlet slots, which migration re-maps; carry-through "
-            "needs pid-keyed matching in parallel/particles — use the "
-            "history-less tangential model for sharded runs")
+        def dem_fn(ps, hydro, dt_dem):
+            n_loc_cap = ps.pos.shape[0]
+            K_g = max(16, n_loc_cap // 2)
+            sh = demod_shear(ps)
+            pos, vel, angvel, n_list, n_ghost, sh2 = pp.dem_substeps_sharded(
+                ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
+                cfg.r_max, geom, K_g, shear=sh,
+            )
+            return pos, vel, angvel, n_list + n_ghost, sh2
+        return dem_fn
 
     def dem_fn(ps, hydro, dt_dem):
         n_loc_cap = ps.pos.shape[0]
@@ -586,6 +606,11 @@ def _make_dem_fn(cfg: cd.CaseConfig, geom):
         return pos, vel, angvel, n_list + n_ghost
 
     return dem_fn
+
+
+def demod_shear(ps):
+    from ..ops.dem import ShearState
+    return ShearState(ps.shear_xi, ps.shear_ids, ps.shear_wall)
 
 
 def _one_sharded_step(state: SimState, cfg: cd.CaseConfig, ctx: ShardCtx,
