@@ -158,24 +158,37 @@ def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
     px, py, pz = pos[0], pos[1], pos[2]
     act = pos[3] > 0.5
 
+    # The Gaussian is separable: exp(-(dx^2+dy^2+dz^2)/2s^2) =
+    # fx[dx]*fy[dy]*fz[dz]. Precomputing the 3x3 per-axis factors costs
+    # 9*cap exps per plane instead of 19*cap, and the wall masks (and the
+    # activity gate) fold into the factors once per axis value.
+    deltas = sorted({int(v) for o in offsets for v in o})
+    fx, fy, fz = {}, {}, {}
+    for d in deltas:
+        cx = ox + (xi + (d + 0.5)) * hx
+        e = jnp.exp(-((px - cx) ** 2) * inv2s2)
+        if not periodic[0] and d != 0:
+            okX = jnp.logical_and(i + d >= 0, i + d < nx)
+            e = e * okX.astype(dtype)
+        fx[d] = jnp.where(act, e, 0.0)                 # activity gate once
+    for d in deltas:
+        cy = oy + ((iy + d).astype(dtype) + 0.5) * hy
+        e = jnp.exp(-((py - cy[None]) ** 2) * inv2s2)
+        if not periodic[1] and d != 0:
+            okY = (iy + d >= 0) & (iy + d < ny)
+            e = jnp.where(okY[None], e, 0.0)
+        fy[d] = e
+    for d in deltas:
+        cz = oz + ((iz + d).astype(dtype) + 0.5) * hz
+        e = jnp.exp(-((pz - cz[None]) ** 2) * inv2s2)
+        if not periodic[2] and d != 0:
+            okZ = (iz + d >= 0) & (iz + d < nz)
+            e = jnp.where(okZ[None], e, 0.0)
+        fz[d] = e
+
     for o in offsets:
         dx, dy, dz = (int(v) for v in o)
-        cx = ox + (xi + (dx + 0.5)) * hx
-        cy = oy + ((iy + dy).astype(dtype) + 0.5) * hy
-        cz = oz + ((iz + dz).astype(dtype) + 0.5) * hz
-        d2 = (px - cx) ** 2 + (py - cy[None]) ** 2 + (pz - cz[None]) ** 2
-        w = jnp.exp(-d2 * inv2s2)
-        # wall-axis masks: stencil cells outside the domain carry no weight
-        if not periodic[1] and dy != 0:
-            okY = (iy + dy >= 0) & (iy + dy < ny)
-            w = jnp.where(okY[None], w, 0.0)
-        if not periodic[2] and dz != 0:
-            okZ = (iz + dz >= 0) & (iz + dz < nz)
-            w = jnp.where(okZ[None], w, 0.0)
-        if not periodic[0] and dx != 0:
-            okX = jnp.logical_and(i + dx >= 0, i + dx < nx)
-            w = w * okX.astype(dtype)
-        yield jnp.where(act, w, 0.0), o
+        yield fx[dx] * fy[dy] * fz[dz], o
 
 
 # ---------------------------------------------------------------------------
