@@ -73,6 +73,9 @@ def main():
             # and neighbor count keep the gather row counts minimal
             cell_capacity=4,
             max_neighbors=8,
+            # persistent Verlet list: amortize the dominant list-build cost
+            # over ~10 steps (displacement-gated lax.cond rebuild)
+            list_reuse=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

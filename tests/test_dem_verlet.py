@@ -81,3 +81,107 @@ def test_substeps_with_verlet_list_bounce():
                                      dt, 3000, r)
     np.testing.assert_allclose(float(jnp.sum(vel[:, 0])), p0, rtol=1e-3)
     assert float(vel[1, 0]) > 0.3
+
+
+def test_persistent_list_matches_per_step_rebuild():
+    """DEMConfig.list_reuse: the carried Verlet list (rebuilt only on the
+    displacement criterion) gives the same coupled trajectories as the
+    per-step rebuild — a stale-but-valid list is a candidate superset and
+    non-touching candidates contribute zero force."""
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+
+    rng = np.random.RandomState(3)
+    N = 120
+    grid = Grid.cube(16, 16e-3)
+    r = 4e-4
+
+    def build(list_reuse):
+        cfg = cd.CaseConfig(
+            grid=grid,
+            bcs=FluidBCs.channel_z(),
+            transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
+                                             rho_p=2500.0),
+            solver="pimple",
+            coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                       stencil_shape="sphere2",
+                                       exchange="planes", slot_capacity=8),
+            dem=dem.DEMConfig(
+                params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+                gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+                periodic=(True, True, False), wall_axes=(False, False, True),
+                neighbor="cells", cell_capacity=12, max_neighbors=24,
+                list_reuse=list_reuse,
+            ),
+            n_dem_substeps=2,
+            r_max=r,
+        )
+        return cfg
+
+    pos0 = rng.uniform(0.2 * 16e-3, 0.8 * 16e-3, (N, 3))
+
+    results = {}
+    for reuse in (False, True):
+        cfg = build(reuse)
+        state = cd.initialize_state(
+            make_fluid_state(grid),
+            make_particle_state(pos=pos0, radius=r),
+            make_turbulence_state(grid, k0=1e-6),
+            cfg, dt=5e-5,
+        )
+        step = cd.make_step_fn(cfg)
+        for _ in range(6):
+            state, diag = step(state)
+            assert int(diag.n_contact_overflow) == 0
+        results[reuse] = state
+
+    np.testing.assert_allclose(np.asarray(results[True].particles.pos),
+                               np.asarray(results[False].particles.pos),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(results[True].particles.vel),
+                               np.asarray(results[False].particles.vel),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(results[True].fluid.p),
+                               np.asarray(results[False].fluid.p),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_persistent_list_rebuild_triggers():
+    """A particle moving fast enough to eat the skin margin forces a
+    rebuild: contacts formed AFTER large drift are still found (the stale
+    list alone would miss them)."""
+    grid = Grid.cube(8, 1.0)
+    cfg = dem.DEMConfig(
+        params=_params(), neighbor="cells", cell_capacity=8, max_neighbors=8,
+        gravity=(0, 0, 0), wall_axes=(False,) * 3, list_reuse=True,
+    )
+    r = 0.02
+    # particle 0 flies toward particle 1 from far outside any shared bin
+    pos = jnp.array([[0.2, 0.5, 0.5], [0.6, 0.5, 0.5]])
+    vel = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    ang = jnp.zeros((2, 3))
+    rad = jnp.full((2,), r)
+    act = jnp.ones(2, bool)
+    dt = dem.critical_dt(r, cfg.params)
+    hydro = dem.DEMForces(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+
+    # emulate the coupled_step carry loop: build once, then cond-rebuild
+    import jax
+
+    bin_size = dem.effective_bin_size(grid, cfg, r)
+    margin = cfg.list_margin_factor * (bin_size - 2.0 * r)
+    nbr = dem.build_neighbor_list(pos, act, grid, cfg, r)
+    ref = pos
+    for _ in range(60):
+        disp = jnp.max(jnp.abs(pos - ref))
+        if bool(disp >= margin):
+            nbr = dem.build_neighbor_list(pos, act, grid, cfg, r)
+            ref = pos
+        pos, vel, ang, _ = dem.dem_substeps(
+            pos, vel, ang, rad, act, hydro, grid, cfg, dt, 10, r, nbr=nbr)
+    # collision must have happened: particle 1 got momentum
+    assert float(vel[1, 0]) > 0.3

@@ -167,6 +167,12 @@ def initialize_state(
                                     cfg.dem.max_neighbors)
         particles = particles._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                                        shear_wall=sh.xi_wall)
+    if cfg.dem.list_reuse and particles.nbr is None:
+        assert cfg.dem.neighbor == "cells", "list_reuse requires neighbor='cells'"
+        nbr = demod.build_neighbor_list(
+            particles.pos, particles.active, cfg.grid, cfg.dem, cfg.r_max
+        )
+        particles = particles._replace(nbr=nbr, nbr_ref_pos=particles.pos)
     cres = exchange(fluid, particles, cfg.grid, cfg.bcs, cfg.transport,
                     cfg.coupling, dt_arr)
     fluid = fluid._replace(
@@ -231,6 +237,41 @@ def coupled_step(
     #    the reference's once-per-fluid-step force send)
     dt_dem = dt / cfg.n_dem_substeps
     hydro = demod.DEMForces(cres.force, cres.torque)
+
+    # persistent Verlet list: rebuild under lax.cond only when accumulated
+    # drift eats the configured fraction of the skin margin (amortizes the
+    # dominant DEM list-build cost over ~10 fluid steps; a stale-but-valid
+    # list is a candidate superset, so forces are identical — see
+    # DEMConfig.list_reuse). Overflow accounting rides the rebuild branch.
+    nbr = None
+    n_list_overflow = jnp.int32(0)
+    if dem_fn is None and cfg.dem.list_reuse:
+        assert cfg.dem.neighbor == "cells", "list_reuse requires neighbor='cells'"
+        assert ps.nbr is not None, "initialize_state builds the first list"
+        bin_size = demod.effective_bin_size(grid, cfg.dem, cfg.r_max)
+        margin = cfg.dem.list_margin_factor * (bin_size - 2.0 * cfg.r_max)
+        assert margin > 0.0, (
+            "list_reuse needs skin slack: effective bin size "
+            f"{bin_size:g} <= 2*r_max {2 * cfg.r_max:g}")
+        disp = jnp.max(jnp.where(
+            ps.active,
+            jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0))
+        # max-norm per axis with periodic wrap: a particle that wrapped
+        # across the box reads as a huge displacement -> harmless rebuild
+        need = disp >= margin
+
+        def _rebuild(_):
+            nbr2, ov = demod.build_neighbor_list(
+                ps.pos, ps.active, grid, cfg.dem, cfg.r_max,
+                return_overflow=True)
+            return nbr2, ps.pos, ov
+
+        def _keep(_):
+            return ps.nbr, ps.nbr_ref_pos, jnp.int32(0)
+
+        nbr, ref_pos, n_list_overflow = jax.lax.cond(need, _rebuild, _keep, None)
+        ps = ps._replace(nbr=nbr, nbr_ref_pos=ref_pos)
+
     if dem_fn is None:
         if cfg.dem.shear_history:
             pos, vel, angvel, n_overflow, sh = demod.dem_substeps(
@@ -238,7 +279,7 @@ def coupled_step(
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
                 shear=demod.ShearState(ps.shear_xi, ps.shear_ids,
                                        ps.shear_wall),
-                pid=ps.pid,
+                pid=ps.pid, nbr=nbr,
             )
             ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                              shear_wall=sh.xi_wall)
@@ -246,7 +287,9 @@ def coupled_step(
             pos, vel, angvel, n_overflow = demod.dem_substeps(
                 ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+                nbr=nbr,
             )
+        n_overflow = n_overflow + n_list_overflow
     elif cfg.dem.shear_history:
         pos, vel, angvel, n_overflow, sh = dem_fn(ps, hydro, dt_dem)
         ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,

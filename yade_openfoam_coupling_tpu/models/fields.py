@@ -73,6 +73,11 @@ class ParticleState(NamedTuple):
     shear_xi: Optional[jnp.ndarray] = None    # (N, M, 3)
     shear_ids: Optional[jnp.ndarray] = None   # (N, M) int32
     shear_wall: Optional[jnp.ndarray] = None  # (N, 3, 3)
+    # persistent Verlet candidate list (DEMConfig.list_reuse; None when
+    # disabled): the (N, M) neighbor ids last built and the positions at
+    # build time (the displacement reference of the skin criterion)
+    nbr: Optional[jnp.ndarray] = None         # (N, M) int32
+    nbr_ref_pos: Optional[jnp.ndarray] = None # (N, 3)
 
     @property
     def n_capacity(self) -> int:

@@ -103,6 +103,11 @@ class CouplingConfig:
     # and rolls instead of index rows; measured several-x faster at the
     # tracked benchmark). Gaussian mode only.
     exchange: str = "sparse"
+    # planes mode: run interp + force laws + deposit as ONE Pallas kernel
+    # (`coupling_planes.fused_exchange_padded`) — saves the G/V HBM
+    # round-trips, the XLA physics pass, and the second exp pass. False
+    # keeps the two-kernel pipeline (equivalence-tested against it).
+    fused_planes: bool = True
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4

@@ -134,14 +134,15 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
 # Weight helper shared by both kernels (traced inside Pallas)
 # ---------------------------------------------------------------------------
 
-def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
+def _axis_factors_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
                         dtype, x_off=None):
-    """Yield (raw Gaussian weight (cap, ny, nz), offset) one offset at a
-    time for one x-plane, with wall-axis domain masks. `pos` = [px, py,
-    pz, act] as (cap, ny, nz) arrays. Generator so kernels keep a single
-    weight array live (all S at once overflows scoped VMEM). ``x_off``
+    """Per-axis separable Gaussian factors for one x-plane:
+    exp(-(dx^2+dy^2+dz^2)/2s^2) = fx[dx]*fy[dy]*fz[dz]. Computing the 3x3
+    factors once costs 9*cap exps per plane instead of 19*cap, and the wall
+    masks (and the activity gate) fold into the factors once per axis
+    value. `pos` = [px, py, pz, act] as (cap, ny, nz) arrays; ``x_off``
     (traced scalar) maps the local plane index to the global x plane for
-    slab (sharded) execution."""
+    slab (sharded) execution. Returns (fx, fy, fz) dicts keyed by delta."""
     h_mean = float(np.cbrt(grid.cell_volume))
     sigma = cp.SIGMA_OVER_RANGE * cp.INTERP_RANGE_CELLS * h_mean
     inv2s2 = float(1.0 / (2.0 * sigma * sigma))
@@ -158,10 +159,6 @@ def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
     px, py, pz = pos[0], pos[1], pos[2]
     act = pos[3] > 0.5
 
-    # The Gaussian is separable: exp(-(dx^2+dy^2+dz^2)/2s^2) =
-    # fx[dx]*fy[dy]*fz[dz]. Precomputing the 3x3 per-axis factors costs
-    # 9*cap exps per plane instead of 19*cap, and the wall masks (and the
-    # activity gate) fold into the factors once per axis value.
     deltas = sorted({int(v) for o in offsets for v in o})
     fx, fy, fz = {}, {}, {}
     for d in deltas:
@@ -185,7 +182,17 @@ def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
             okZ = (iz + d >= 0) & (iz + d < nz)
             e = jnp.where(okZ[None], e, 0.0)
         fz[d] = e
+    return fx, fy, fz
 
+
+def _iter_weights_plane(pos, i, grid: Grid, periodic, offsets, ny, nz,
+                        dtype, x_off=None):
+    """Yield (raw Gaussian weight (cap, ny, nz), offset) one offset at a
+    time for one x-plane, with wall-axis domain masks. Generator so kernels
+    keep a single weight array live (all S at once overflows scoped
+    VMEM)."""
+    fx, fy, fz = _axis_factors_plane(pos, i, grid, periodic, offsets,
+                                     ny, nz, dtype, x_off=x_off)
     for o in offsets:
         dx, dy, dz = (int(v) for v in o)
         yield fx[dx] * fy[dy] * fz[dz], o
@@ -386,6 +393,12 @@ def deposit_planes(
     nx = grid.shape[0]
     stks, combos = deposit_stacks(V, D, nx, grid, periodic, cfg, 0,
                                   interpret=interpret)
+    return _stack_epilogue(stks, combos)
+
+
+def _stack_epilogue(stks: jnp.ndarray, combos) -> jnp.ndarray:
+    """Land the per-(dx,dy) output stacks: roll and sum (XLA fuses the 9
+    shifted adds into one pass)."""
     out = None
     for ci, (dx, dy) in enumerate(combos):
         v = stks[ci]
@@ -393,6 +406,131 @@ def deposit_planes(
             v = jnp.roll(v, (dx, dy), axis=(1, 2))
         out = v if out is None else out + v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused kernel: interp + physics + deposit in ONE pallas pass
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
+                  *, grid: Grid, periodic, offsets, combos, cap, C_in,
+                  cell_volume, nu, rho_f, cfg):
+    """One pass per x-plane: interpolate the input stack to the slots,
+    evaluate the force laws in VMEM, and accumulate the deposit stacks —
+    the fusion of `_interp_kernel` + `_physics_planes` + `_deposit_kernel`.
+    Beyond one kernel launch saved, this kills the HBM round-trips of the
+    intermediates (G ~370 MB, V ~270 MB at 128^3) and computes the 9
+    separable Gaussian factors ONCE for both the gather and scatter halves
+    (the two-kernel pipeline exponentiates twice)."""
+    ny, nz = stk_ref.shape[3], stk_ref.shape[4]
+    i = pl.program_id(0)
+    dtype = stk_ref.dtype
+
+    D = d_ref[:, :, 0]                                     # (8, cap, ny, nz)
+    pos = [D[0], D[1], D[2], D[7]]
+    fxd, fyd, fzd = _axis_factors_plane(pos, i, grid, periodic, offsets,
+                                        ny, nz, dtype, x_off=xoff_ref[0])
+    views = {-1: fm_ref, 0: f0_ref, 1: fp_ref}
+
+    # interp: one weight live at a time; normalize at the end
+    acc = [None] * C_in
+    norm = None
+    for o in offsets:
+        dx, dy, dz = (int(v) for v in o)
+        w = fxd[dx] * fyd[dy] * fzd[dz]
+        norm = w if norm is None else norm + w
+        for c in range(C_in):
+            F = views[dx][c, 0, 1 + dy: 1 + dy + ny, 1 + dz: 1 + dz + nz]
+            t = w * F[None]
+            acc[c] = t if acc[c] is None else acc[c] + t
+    inv_norm = jnp.where(norm > 0.0, 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+    G = jnp.stack([a * inv_norm for a in acc])             # (C_in, cap, ny, nz)
+
+    # physics (identical formulas; _physics_planes is shape-agnostic over
+    # the trailing dims)
+    V, force, _torque, found = _physics_planes(
+        D, G, norm, cell_volume, nu, rho_f, cfg
+    )
+    Vn = V * inv_norm[None]                                # pre-normalized
+
+    # deposit: reuse the cached factors (no second exp pass)
+    accd = {}
+    for o in offsets:
+        dx, dy, dz = (int(v) for v in o)
+        w = fxd[dx] * fyd[dy] * fzd[dz]
+        combo = (dx, dy)
+        for c in range(Vn.shape[0]):
+            contrib = jnp.sum(w * Vn[c], axis=0)           # (ny, nz)
+            if dz:
+                contrib = jnp.roll(contrib, dz, axis=-1)
+            key = (combo, c)
+            accd[key] = contrib if key not in accd else accd[key] + contrib
+    for ci, combo in enumerate(combos):
+        for c in range(Vn.shape[0]):
+            stk_ref[ci, c, 0] = accd[(combo, c)]
+
+    # per-slot particle results: force + found (torque is zero in planes
+    # mode — the dispatcher asserts use_torque off)
+    for c in range(3):
+        pres_ref[c, :, 0] = force[c]
+    pres_ref[3, :, 0] = found.astype(dtype)
+
+
+def fused_exchange_padded(
+    Fp: jnp.ndarray,           # (C_in, nxl+2, ny+2, nz+2) ghost-padded stack
+    D: jnp.ndarray,            # (8, cap, nxl*ny*nz) slot planes
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    cfg: cp.CouplingConfig,
+    x_off,
+    nu: float,
+    rho_f: float,
+    *,
+    interpret: bool = False,
+):
+    """-> (stks (n_combo, 8, nxl, ny, nz), combos, force (3, cap, ncl),
+    found (cap, ncl)) for a (possibly slab-local) padded input stack."""
+    C_in = Fp.shape[0]
+    nxl, ny, nz = Fp.shape[1] - 2, Fp.shape[2] - 2, Fp.shape[3] - 2
+    cap = cfg.slot_capacity
+    offsets = cp.stencil_offsets(cfg)
+    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
+    n_combo = len(combos)
+    C_out = 8
+
+    Dp = D.reshape(8, cap, nxl, ny, nz)
+    xoff_arr = jnp.asarray([x_off], jnp.int32)
+
+    kernel = partial(_fused_kernel, grid=grid, periodic=periodic,
+                     offsets=offsets, combos=combos, cap=cap, C_in=C_in,
+                     cell_volume=grid.cell_volume, nu=nu, rho_f=rho_f,
+                     cfg=cfg)
+    smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
+            else {})
+    stks, pres = pl.pallas_call(
+        kernel,
+        grid=(nxl,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), **smem),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
+            pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
+            pl.BlockSpec((8, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_combo, C_out, 1, ny, nz),
+                         lambda i: (0, 0, i, 0, 0)),
+            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_combo, C_out, nxl, ny, nz), Fp.dtype),
+            jax.ShapeDtypeStruct((4, cap, nxl, ny, nz), Fp.dtype),
+        ],
+        interpret=interpret,
+        **({} if interpret else _COMPILER_KW),
+    )(xoff_arr, Fp, Fp, Fp, Dp)
+    pres = pres.reshape(4, cap, nxl * ny * nz)
+    return stks, combos, pres[0:3], pres[3]
 
 
 # ---------------------------------------------------------------------------
@@ -506,40 +644,59 @@ def gaussian_coupling_planes(
     in_fields.append(prev_alpha)
     F = cp._stack_channels(in_fields)                      # (C_in, grid)
 
-    G, norm = interp_planes(F, bins.D, grid, periodic, cfg,
-                            interpret=interpret)
-    V, force, torque, found = _physics_planes(
-        bins.D, G, norm, Vc, nu, rho_f, cfg
-    )
-    # fold the per-slot weight normalization into V so the deposit kernel
-    # runs a single raw-weight pass (see _deposit_kernel)
-    inv_norm = jnp.where(norm > 0.0, 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
-    fields = deposit_planes(V * inv_norm[None], bins.D, grid, periodic, cfg,
-                            interpret=interpret)
+    if cfg.fused_planes:
+        stks, combos, force, found = fused_exchange_padded(
+            pad_wrap_zero(F, periodic), bins.D, grid, periodic, cfg, 0,
+            nu, rho_f, interpret=interpret,
+        )
+        fields = _stack_epilogue(stks, combos)
+        n_res = 4
+        per = jnp.concatenate([force, found.astype(force.dtype)[None]])
+    else:
+        G, norm = interp_planes(F, bins.D, grid, periodic, cfg,
+                                interpret=interpret)
+        V, force, torque, found = _physics_planes(
+            bins.D, G, norm, Vc, nu, rho_f, cfg
+        )
+        # fold the per-slot weight normalization into V so the deposit
+        # kernel runs a single raw-weight pass (see _deposit_kernel)
+        inv_norm = jnp.where(norm > 0.0,
+                             1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+        fields = deposit_planes(V * inv_norm[None], bins.D, grid, periodic,
+                                cfg, interpret=interpret)
+        n_res = 7
+        per = jnp.concatenate([force, torque,
+                               found.astype(force.dtype)[None]])
+
     pvol, up = fields[0], fields[1:4]
     alpha = jnp.maximum(1.0 - pvol / Vc, cfg.alpha_min)
     u_particle = up / Vc
     u_source_drag = fields[4]
     u_source = u_source_drag[None] * u_particle + fields[5:8]
 
-    # unbin: (7, cap, ncells) -> (ncells, cap*7) -> row per sorted particle
-    per = jnp.concatenate([force, torque,
-                           found.astype(force.dtype)[None]])
-    tr = per.reshape(7 * cap, ncells).T                    # (ncells, cap*7)
+    # unbin: (n_res, cap, ncells) -> (ncells, cap*n_res) -> row per sorted
+    # particle
+    tr = per.reshape(n_res * cap, ncells).T                # (ncells, cap*n_res)
     rows = jnp.minimum(bins.cell_sorted, ncells - 1)
-    g = tr[rows].reshape(N, 7, cap)                        # channel-major cols
+    g = tr[rows].reshape(N, n_res, cap)                    # channel-major cols
     sel = ((bins.rank[:, None] == jnp.arange(cap)[None, :])
            & bins.keep[:, None]).astype(g.dtype)
-    res_sorted = jnp.einsum("nck,nk->nc", g, sel)          # (N, 7)
+    res_sorted = jnp.einsum("nck,nk->nc", g, sel)          # (N, n_res)
     res = res_sorted[bins.inv_order]
 
+    if n_res == 4:
+        res_force, res_torque, res_found = (
+            res[:, 0:3], jnp.zeros_like(res[:, 0:3]), res[:, 3])
+    else:
+        res_force, res_torque, res_found = res[:, 0:3], res[:, 3:6], res[:, 6]
+
     return cp.CouplingResult(
-        force=res[:, 0:3],
-        torque=res[:, 3:6],
+        force=res_force,
+        torque=res_torque,
         alpha=alpha.reshape(grid.shape),
         u_particle=u_particle.reshape((3,) + grid.shape),
         u_source=u_source.reshape((3,) + grid.shape),
         u_source_drag=u_source_drag.reshape(grid.shape),
-        found=res[:, 6] > 0.5,
+        found=res_found > 0.5,
         n_overflow=bins.n_overflow,
     )

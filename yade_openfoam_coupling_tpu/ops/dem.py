@@ -74,6 +74,21 @@ class DEMConfig:
     # rebuild the Verlet list every k substeps inside dem_substeps
     # (0 = once per call — right when the caller rebuilds per fluid step)
     list_rebuild_every: int = 0
+    # Persistent Verlet list across FLUID steps: the coupled step carries
+    # the candidate list (`ParticleState.nbr`) and rebuilds it under
+    # `lax.cond` only when the max displacement since the last build
+    # exceeds `list_margin_factor` x (bin_size - 2*r_max) — the classic
+    # Verlet-skin reuse criterion. A stale-but-valid list is a superset of
+    # all touching pairs, so forces are bit-identical to per-step rebuild
+    # (tests/test_dem_verlet.py). The list build is the largest DEM cost
+    # (23 ms at the 100k benchmark, PERF.md), so amortizing it over ~10
+    # steps is the round-3 headline DEM win. Single-device path only; the
+    # sharded driver keeps per-step rebuild (ghost ids reshuffle).
+    list_reuse: bool = False
+    # fraction of the geometric safety margin (bin - 2*r_max) that total
+    # drift may consume before a rebuild; 0.5 = the standard "skin/2 per
+    # particle" bound (two particles approaching from opposite sides)
+    list_margin_factor: float = 0.5
     # cap on hash-bin count: the (nbin, cap) slot table is lane-padded, so
     # HBM cost ~ nbin * 512 B regardless of cap <= 128; bins are enlarged
     # (and should carry a bigger cap) when the 2r(1+skin) sizing would
@@ -796,6 +811,7 @@ def dem_substeps(
     r_max: float,
     shear: Optional[ShearState] = None,
     pid: Optional[jnp.ndarray] = None,
+    nbr: Optional[jnp.ndarray] = None,
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
@@ -804,7 +820,11 @@ def dem_substeps(
     Returns (pos, vel, angvel, n_overflow): the last element counts
     neighbor-list capacity drops this step (0 when exact). With
     ``cfg.shear_history`` (pass the previous step's ``shear``) a fifth
-    element returns the updated ShearState."""
+    element returns the updated ShearState.
+
+    ``nbr`` supplies a prebuilt (persistent) Verlet candidate list; the
+    in-call build is skipped entirely and n_overflow reports 0 (the build
+    step that produced the list accounted for its own drops)."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     inertia = particle_inertia(radius, p.rho_p)
@@ -865,7 +885,10 @@ def dem_substeps(
         return body
 
     use_list = cfg.neighbor == "cells"
-    every = cfg.list_rebuild_every if (use_list and cfg.list_rebuild_every > 0) else n_sub
+    if nbr is not None:
+        every = n_sub          # one chunk, no in-call rebuild
+    else:
+        every = cfg.list_rebuild_every if (use_list and cfg.list_rebuild_every > 0) else n_sub
     every = min(every, n_sub)
     n_chunks, rem = divmod(n_sub, every)
     assert rem == 0, f"n_sub={n_sub} not divisible by list_rebuild_every={every}"
@@ -886,14 +909,17 @@ def dem_substeps(
 
         def chunk_h(state, _):
             pos, vel, angvel, sh = state
-            nbr, overflow = build_neighbor_list(
-                pos, active, grid, cfg, r_max, return_overflow=True
-            )
-            keys = shear_keys(nbr, pos.shape[0], pid)
+            if nbr is not None:
+                nbr_c, overflow = nbr, jnp.int32(0)
+            else:
+                nbr_c, overflow = build_neighbor_list(
+                    pos, active, grid, cfg, r_max, return_overflow=True
+                )
+            keys = shear_keys(nbr_c, pos.shape[0], pid)
             xi = carry_shear(sh, keys)
             xw = sh.xi_wall
             # dt=0: force at the current state, springs projected only
-            a0, aw0, xi, xw = eval_h(nbr, pos, vel, angvel, xi, xw, 0.0)
+            a0, aw0, xi, xw = eval_h(nbr_c, pos, vel, angvel, xi, xw, 0.0)
 
             def body(st, _):
                 pos, vel, angvel, a, aw, xi, xw = st
@@ -904,7 +930,7 @@ def dem_substeps(
                 L = jnp.asarray(grid.lengths, pos.dtype)
                 per = jnp.asarray(cfg.periodic)
                 pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
-                a2, aw2, xi2, xw2 = eval_h(nbr, pos_n, vel_h, angvel_h, xi,
+                a2, aw2, xi2, xw2 = eval_h(nbr_c, pos_n, vel_h, angvel_h, xi,
                                            xw, dt_dem)
                 vel_n = vel_h + 0.5 * dt_dem * a2
                 angvel_n = angvel_h + 0.5 * dt_dem * aw2
@@ -922,13 +948,15 @@ def dem_substeps(
 
     def chunk(state, _):
         pos, vel, angvel = state
-        if use_list:
-            nbr, overflow = build_neighbor_list(
+        if nbr is not None:
+            nbr_c, overflow = nbr, jnp.int32(0)
+        elif use_list:
+            nbr_c, overflow = build_neighbor_list(
                 pos, active, grid, cfg, r_max, return_overflow=True
             )
         else:
-            nbr, overflow = None, jnp.int32(0)
-        accel = make_accel(nbr, pos, vel, angvel)
+            nbr_c, overflow = None, jnp.int32(0)
+        accel = make_accel(nbr_c, pos, vel, angvel)
         a0, aw0 = accel(pos, vel, angvel)
         (pos, vel, angvel, _, _), _ = jax.lax.scan(
             substep_body(accel), (pos, vel, angvel, a0, aw0), None, length=every

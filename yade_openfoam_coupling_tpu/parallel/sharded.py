@@ -307,17 +307,25 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         chans.append(ctx.pad_s(fs.alpha, gbc))
         Fp = jnp.stack(chans)                       # (C_in, n_loc+2, ny+2, nz+2)
 
-        G, norm = cpp.interp_planes_padded(Fp, bins.D, grid, periodic, ccfg,
-                                           start, interpret=interpret)
-        V, force, torque, found = cpp._physics_planes(
-            bins.D, G, norm, Vc, tp.nu, tp.rho_f, ccfg
-        )
-        inv_norm = jnp.where(norm > 0.0,
-                             1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
-        stks, combos = cpp.deposit_stacks(
-            V * inv_norm[None], bins.D, n_loc, grid, periodic, ccfg, start,
-            interpret=interpret,
-        )
+        if ccfg.fused_planes:
+            stks, combos, force, found = cpp.fused_exchange_padded(
+                Fp, bins.D, grid, periodic, ccfg, start, tp.nu, tp.rho_f,
+                interpret=interpret,
+            )
+            torque = jnp.zeros_like(force)
+        else:
+            G, norm = cpp.interp_planes_padded(Fp, bins.D, grid, periodic,
+                                               ccfg, start,
+                                               interpret=interpret)
+            V, force, torque, found = cpp._physics_planes(
+                bins.D, G, norm, Vc, tp.nu, tp.rho_f, ccfg
+            )
+            inv_norm = jnp.where(norm > 0.0,
+                                 1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
+            stks, combos = cpp.deposit_stacks(
+                V * inv_norm[None], bins.D, n_loc, grid, periodic, ccfg,
+                start, interpret=interpret,
+            )
 
         # epilogue: dy rolls are slab-local; dx shifts land in a halo-
         # extended slab completed by one ring exchange (cf. dep_stack)
