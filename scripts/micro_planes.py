@@ -80,15 +80,31 @@ def main():
             V, None, length=n)[0]))
         return lambda: f(V0, bins0.D)
 
-    def full(n):
+    def full(n, fused=False):
+        import dataclasses
+        c = dataclasses.replace(cfg, fused_planes=fused)
+
         def go():
             def body(p, _):
                 res = cpp.gaussian_coupling_planes(
                     p, u, gp, dtau, u, u, grid, periodic, 1e-6, 1000.0,
-                    1e-4, cfg, prev_alpha=alpha, interpret=False)
+                    1e-4, c, prev_alpha=alpha, interpret=False)
                 return chain_pf(p, jnp.sum(res.force) + jnp.sum(res.alpha)), None
             p, _ = jax.lax.scan(body, pf, None, length=n)
             return jnp.sum(p.pos)
+        return jax.jit(go)
+
+    def fused_kernel_only(n):
+        Fp0 = cpp.pad_wrap_zero(F0, periodic)
+
+        def go():
+            def body(D, _):
+                stks, combos, force, found = cpp.fused_exchange_padded(
+                    Fp0, D, grid, periodic, cfg, 0, 1e-6, 1000.0,
+                    interpret=False)
+                return D + (jnp.sum(stks) + jnp.sum(force)) * 1e-30, None
+            D, _ = jax.lax.scan(body, bins0.D, None, length=n)
+            return jnp.sum(D)
         return jax.jit(go)
 
     sel = None
@@ -100,7 +116,10 @@ def main():
     if want("bin"): timeit("bin_particles_planes", bin_only)
     if want("interp"): timeit("interp kernel", interp_only)
     if want("deposit"): timeit("deposit kernel + epilogue", deposit_only)
+    if want("fusedk"): timeit("fused kernel only", fused_kernel_only)
     if want("full"): timeit("full planes exchange", full)
+    if want("fullfused"): timeit("full planes (fused)",
+                                 lambda n: full(n, fused=True))
 
 
 if __name__ == "__main__":

@@ -138,3 +138,62 @@ def test_gaussian_4way_fluidization_smoke():
     assert bool(jnp.all(jnp.isfinite(state.particles.pos)))
     assert float(jnp.min(state.fluid.alpha)) < 1.0
     assert int(diags.n_found[-1]) == 32
+
+
+def test_pressure_warm_start_extrapolation_same_solution():
+    """PIMPLEConfig.p_extrapolate changes only the initial CG guess: the
+    converged coupled trajectories match the non-extrapolated run."""
+    import numpy as _np
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.pimple import PIMPLEConfig
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+    from yade_openfoam_coupling_tpu.ops import dem as demod
+    from yade_openfoam_coupling_tpu.ops import pressure as pr
+    from yade_openfoam_coupling_tpu.ops.grid import Grid
+
+    grid = Grid.cube(16, 16e-3)
+    rng = _np.random.RandomState(5)
+    pos0 = rng.uniform(0.3 * 16e-3, 0.7 * 16e-3, (24, 3))
+
+    def run(extrap):
+        cfg = cd.CaseConfig(
+            grid=grid, bcs=FluidBCs.channel_z(),
+            transport=cd.TransportProperties(),
+            solver="pimple",
+            coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                       stencil_shape="sphere2",
+                                       exchange="planes", slot_capacity=8),
+            dem=demod.DEMConfig(neighbor="allpairs",
+                                periodic=(True, True, False),
+                                wall_axes=(False, False, True)),
+            pimple=PIMPLEConfig(
+                n_outer=1, n_correctors=1, p_extrapolate=extrap,
+                pressure=pr.PressureSolverConfig(solver="mgpcg", tol=1e-7,
+                                                 maxiter=200)),
+            n_dem_substeps=2, r_max=4e-4,
+            gravity_fluid=(0.0, 0.0, -9.81),
+        )
+        state = cd.initialize_state(
+            make_fluid_state(grid),
+            make_particle_state(pos=pos0, radius=4e-4),
+            make_turbulence_state(grid, k0=1e-6),
+            cfg, dt=5e-5)
+        step = cd.make_step_fn(cfg)
+        iters = []
+        for _ in range(5):
+            state, diag = step(state)
+            iters.append(int(diag.p_iters))
+        return state, iters
+
+    s0, it0 = run(0.0)
+    s1, it1 = run(1.0)
+    _np.testing.assert_allclose(_np.asarray(s1.fluid.p),
+                                _np.asarray(s0.fluid.p),
+                                rtol=2e-4, atol=1e-8)
+    _np.testing.assert_allclose(_np.asarray(s1.particles.pos),
+                                _np.asarray(s0.particles.pos),
+                                rtol=1e-6, atol=1e-10)

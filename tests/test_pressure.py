@@ -97,3 +97,25 @@ def test_solve_under_jit():
     p = run(rhs)
     p = p - jnp.mean(p) + jnp.mean(p_exact)
     assert float(jnp.max(jnp.abs(p - p_exact))) < 5e-3
+
+
+def test_mg_bf16_preconditioner_converges():
+    """bf16 V-cycle preconditioner: same solution, f32 residual targets."""
+    import jax.numpy as jnp
+    from yade_openfoam_coupling_tpu.ops import pressure as pr
+    from yade_openfoam_coupling_tpu.ops.grid import FieldBC, Grid
+
+    grid = Grid.cube(32, 1.0)
+    bc = FieldBC.uniform("neumann")
+    gamma = tuple(jnp.ones(s, jnp.float32) for s in
+                  ((33, 32, 32), (32, 33, 32), (32, 32, 33)))
+    rng = np.random.RandomState(0)
+    rhs = jnp.asarray(rng.randn(32, 32, 32), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    for bf16 in (False, True):
+        cfg = pr.PressureSolverConfig(
+            solver="mgpcg", tol=1e-5, maxiter=60,
+            mg=pr.MGConfig(bf16=bf16))
+        res = pr.solve_pressure(gamma, rhs, jnp.zeros_like(rhs), grid, bc, cfg)
+        assert float(res.residual) <= 1.1 * max(
+            1e-5 * float(res.initial_residual), 1e-5 * float(jnp.linalg.norm(rhs)))

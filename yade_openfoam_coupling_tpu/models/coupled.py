@@ -180,6 +180,9 @@ def initialize_state(
         alpha_old=cres.alpha,
         u_particle=cres.u_particle,
     )
+    if cfg.solver == "pimple" and cfg.pimple.p_extrapolate != 0.0 \
+            and fluid.p_prev is None:
+        fluid = fluid._replace(p_prev=fluid.p)
     return SimState(
         fluid=fluid, particles=particles, turb=turb,
         t=jnp.asarray(t0, jnp.float32), dt=dt_arr, step=jnp.int32(0),
@@ -216,6 +219,13 @@ def coupled_step(
         nut_max = ctx.max(jnp.max(tb.nut)) if cfg.solver == "pimple" else 0.0
         dt = new_dt(co_max, state.dt, cfg.time,
                     dt_diff=diffusive_dt_bound(grid, tp.nu, nut_max))
+        if cfg.dem.enforce_critical_dt:
+            # DEM stability: dt/n_sub <= Rayleigh critical dt (exchangeDT
+            # parity — see DEMConfig.enforce_critical_dt). min over shards:
+            # radius is per-local-slab under particle sharding.
+            dt_c = ctx.min(demod.critical_dt_dynamic(
+                ps.radius, ps.active, cfg.dem.params))
+            dt = jnp.minimum(dt, cfg.n_dem_substeps * dt_c)
     else:
         dt = state.dt
 
@@ -313,6 +323,11 @@ def coupled_step(
     else:
         raise ValueError(f"unknown solver {cfg.solver!r}")
     fs2 = fs2._replace(u_old=u_prev)
+    if fs.p_prev is not None:
+        # warm-start bookkeeping (PIMPLEConfig.p_extrapolate): the pressure
+        # this step STARTED from becomes next step's p_prev. Only when the
+        # state already carries the leaf — scan carries must keep structure.
+        fs2 = fs2._replace(p_prev=fs.p)
 
     # diagnostics
     cont_local, cont_global = continuity_errors(

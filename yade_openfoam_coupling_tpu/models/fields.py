@@ -38,6 +38,10 @@ class FluidState(NamedTuple):
     u_source: jnp.ndarray       # (3, grid) explicit momentum source [m/s^2]
     u_source_drag: jnp.ndarray  # implicit drag coefficient [1/s], <= 0
     u_particle: jnp.ndarray     # (3, grid) cell-averaged particle velocity
+    # end-of-previous-step pressure (PIMPLEConfig.p_extrapolate warm start:
+    # first solve of the step starts from p + (p - p_prev), cutting CG
+    # iterations in smooth flows); None disables
+    p_prev: Optional[jnp.ndarray] = None
 
 
 class TurbulenceState(NamedTuple):

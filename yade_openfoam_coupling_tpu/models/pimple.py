@@ -63,6 +63,11 @@ class PIMPLEConfig:
     # matching OpenFOAM's finalIter behavior)
     relax_u: float = 1.0
     relax_p: float = 1.0
+    # warm-start extrapolation: the FIRST pressure solve of the step
+    # starts from p + c*(p - p_prev) (requires FluidState.p_prev, carried
+    # by coupled_step). 0 = start from p, the OpenFOAM behavior. Only the
+    # initial guess changes; the converged solution does not.
+    p_extrapolate: float = 0.0
 
 
 _NEU = FieldBC.uniform("neumann")
@@ -148,6 +153,9 @@ def pimple_step(
             )
 
         p_outer = p
+        if (_outer == 0 and cfg.p_extrapolate != 0.0
+                and fs.p_prev is not None):
+            p = p + cfg.p_extrapolate * (p - fs.p_prev)
         for _corr in range(cfg.n_correctors):
             phiHbyA = st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid)
             phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))

@@ -118,6 +118,17 @@ class DEMConfig:
     # model is the documented round-1 behavior and several physics tests
     # pin it.
     shear_history: bool = False
+    # Clamp the ADAPTIVE fluid dt so dt/n_dem_substeps never exceeds the
+    # Rayleigh-style critical contact dt (`critical_dt_dynamic`) — the
+    # in-graph counterpart of the reference's exchangeDT handshake
+    # (FoamYade.C:537-553). Divergence, documented: the reference never
+    # clamps the FLUID dt (Yade adapts its substep count to
+    # ceil(dt_fluid/dt_DEM)); our substep count is static, so enforcing
+    # the bound must throttle dt_fluid instead — which can slow
+    # contact-free flows enormously. Opt-in: enable for stiff-contact
+    # cases with adaptive dt, or raise n_dem_substeps. Only active with
+    # TimeControls.adjust_time_step.
+    enforce_critical_dt: bool = False
     # Cundall non-viscous damping (Yade NewtonIntegrator::damping, default
     # 0.2 there): per component, forces that increase |velocity| are
     # reduced by this factor and forces that decrease it amplified —
@@ -973,3 +984,16 @@ def critical_dt(radius_min: float, params: ContactParams) -> float:
     """Rayleigh-style critical DEM time step: dt_c ~ sqrt(m_min/kn) * safety."""
     m_min = float(params.rho_p * (4.0 / 3.0) * np.pi * radius_min ** 3)
     return 0.2 * float(np.sqrt(m_min / params.kn))
+
+
+def critical_dt_dynamic(radius, active, params: ContactParams):
+    """Traced critical_dt from the current (masked) minimum radius — the
+    in-graph clamp the coupled step applies to the adaptive fluid dt
+    (`coupled_step`), replacing the reference's per-step dt negotiation
+    with Yade (`exchangeDT`, /root/reference/FoamYade/FoamYade.C:537-553:
+    Yade runs ceil(dt_fluid/dt_DEM) substeps of its own stable dt; here
+    the substep count is static, so dt_fluid itself is bounded)."""
+    r_min = jnp.min(jnp.where(active, radius, jnp.inf))
+    r_min = jnp.where(jnp.isfinite(r_min), r_min, 1.0)  # no active particles
+    m_min = params.rho_p * (4.0 / 3.0) * jnp.pi * r_min ** 3
+    return 0.2 * jnp.sqrt(m_min / params.kn)

@@ -263,6 +263,11 @@ class MGConfig:
     post_smooth: int = 2
     coarse_iters: int = 20
     omega: float = 0.8         # damped-Jacobi weight
+    # run the V-cycle in bfloat16 (residual cast in, correction cast out).
+    # The preconditioner is HBM-bound; halving its bytes costs only CG
+    # iteration count (a preconditioner may be inexact), not correctness —
+    # the outer CG's residuals/dots stay f32. Off by default.
+    bf16: bool = False
 
 
 def make_mg_preconditioner(
@@ -290,6 +295,10 @@ def make_mg_preconditioner(
     pads = [default_pad(bc)] * levels
     diags = [poisson_diag(g, gr, bc) for g, gr in zip(gammas, grids)]
     inv_diags = [1.0 / jnp.where(jnp.abs(d) < 1e-30, -1.0, d) for d in diags]
+    if cfg.bf16:
+        bf = jnp.bfloat16
+        gammas = [tuple(g.astype(bf) for g in gf) for gf in gammas]
+        inv_diags = [d.astype(bf) for d in inv_diags]
 
     def smooth(lv: int, x: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
         def body(_, x):
@@ -308,6 +317,8 @@ def make_mg_preconditioner(
         x = x + _prolong(e)
         return smooth(lv, x, b, cfg.post_smooth)
 
+    if cfg.bf16:
+        return lambda r: vcycle(0, r.astype(jnp.bfloat16)).astype(r.dtype)
     return lambda r: vcycle(0, r)
 
 

@@ -57,6 +57,9 @@ class LocalCtx:
     def max(self, x):
         return x
 
+    def min(self, x):
+        return x
+
     def mean_of_sum(self, x, n_local):
         return x / n_local
 
@@ -108,6 +111,11 @@ class ShardCtx:
     def max(self, x):
         for n in self._names():
             x = lax.pmax(x, n)
+        return x
+
+    def min(self, x):
+        for n in self._names():
+            x = lax.pmin(x, n)
         return x
 
     def mean_of_sum(self, x, n_local):

@@ -473,6 +473,8 @@ def state_specs(cfg: cd.CaseConfig):
         alpha=P(AXIS), alpha_old=P(AXIS),
         u_source=P(None, AXIS), u_source_drag=P(AXIS), u_particle=P(None, AXIS),
     )
+    if cfg.solver == "pimple" and cfg.pimple.p_extrapolate != 0.0:
+        fluid["p_prev"] = P(AXIS)
     from ..models.fields import FluidState, ParticleState, TurbulenceState
     fluid_spec = FluidState(**fluid)
     shear_kw = {}
