@@ -1,0 +1,111 @@
+"""2x2 ablation of the round-3 changes on the full tracked step (TPU):
+fused_planes x list_reuse. Isolates the in-context cost of each change
+(isolated stage sums don't predict the full step — PERF.md interaction)."""
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/yofc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.pimple import PIMPLEConfig
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.models.turbulence import TurbulenceConfig
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+    from yade_openfoam_coupling_tpu.ops import dem
+    from yade_openfoam_coupling_tpu.ops import pressure as pr
+    from yade_openfoam_coupling_tpu.ops.grid import Grid
+
+    nx, n_particles = 128, 100_000
+    length = 1e-3 * nx
+    radius = 4e-4
+    grid = Grid.cube(nx, length)
+
+    def make_cfg(fused, reuse, extrap=0.0, bf16=False):
+        return cd.CaseConfig(
+            grid=grid, bcs=FluidBCs.channel_z(),
+            transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
+                                             rho_p=2500.0),
+            solver="pimple",
+            coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                       stencil_shape="sphere2",
+                                       exchange="planes", slot_capacity=4,
+                                       fused_planes=fused),
+            dem=dem.DEMConfig(
+                params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+                gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+                periodic=(True, True, False), wall_axes=(False, False, True),
+                neighbor="cells", cell_capacity=4, max_neighbors=8,
+                list_reuse=reuse,
+            ),
+            pimple=PIMPLEConfig(
+                n_outer=1, n_correctors=1, p_extrapolate=extrap,
+                pressure=pr.PressureSolverConfig(
+                    solver="mgpcg", tol=1e-5, maxiter=40,
+                    mg=pr.MGConfig(bf16=bf16)),
+            ),
+            turbulence=TurbulenceConfig(model="kEqn"),
+            gravity_fluid=(0.0, 0.0, -9.81),
+            n_dem_substeps=4, r_max=radius,
+        )
+
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(0.1 * length, 0.9 * length, (n_particles, 3))
+
+    def measure(name, cfg, k=6):
+        state = cd.initialize_state(
+            make_fluid_state(grid),
+            make_particle_state(pos=pos, radius=radius),
+            make_turbulence_state(grid, k0=1e-6),
+            cfg, dt=5e-5,
+        )
+
+        def runner(n):
+            run = cd.make_scan_fn(cfg, n)
+            def go():
+                out, _ = run(state)
+                return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
+            return jax.jit(go)
+
+        f1, fk = runner(1), runner(k)
+        float(f1()); float(fk())
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter(); float(f1()); t1 = time.perf_counter()
+            t2 = time.perf_counter(); float(fk()); t3 = time.perf_counter()
+            ms = ((t3 - t2) - (t1 - t0)) / (k - 1) * 1e3
+            best = ms if best is None else min(best, ms)
+        print(f"{name:44s} {best:9.2f} ms/step", flush=True)
+
+    sel = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            sel = a.split("=", 1)[1].split(",")
+
+    cases = {
+        "A fused=1 reuse=1": (True, True, 0.0, False),
+        "B fused=1 reuse=0": (True, False, 0.0, False),
+        "C fused=0 reuse=1": (False, True, 0.0, False),
+        "D fused=0 reuse=0": (False, False, 0.0, False),
+        "E fused=1 reuse=1 extrap=1": (True, True, 1.0, False),
+        "F fused=1 reuse=1 bf16mg": (True, True, 0.0, True),
+        "G fused=1 reuse=1 extrap+bf16": (True, True, 1.0, True),
+    }
+    for name, (fu, re_, ex, bf) in cases.items():
+        if sel is None or any(s in name for s in sel):
+            measure(name, make_cfg(fu, re_, ex, bf))
+
+
+if __name__ == "__main__":
+    main()

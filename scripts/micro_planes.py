@@ -95,17 +95,15 @@ def main():
         return jax.jit(go)
 
     def fused_kernel_only(n):
-        Fp0 = cpp.pad_wrap_zero(F0, periodic)
+        Fp0 = jax.jit(lambda F: cpp.pad_wrap_zero(F, periodic))(F0)
 
-        def go():
-            def body(D, _):
-                stks, combos, force, found = cpp.fused_exchange_padded(
-                    Fp0, D, grid, periodic, cfg, 0, 1e-6, 1000.0,
-                    interpret=False)
-                return D + (jnp.sum(stks) + jnp.sum(force)) * 1e-30, None
-            D, _ = jax.lax.scan(body, bins0.D, None, length=n)
-            return jnp.sum(D)
-        return jax.jit(go)
+        f = jax.jit(lambda D0, Fp: jnp.sum(jax.lax.scan(
+            lambda D, _: (D + (lambda r: (jnp.sum(r[0]) + jnp.sum(r[2])))(
+                cpp.fused_exchange_padded(
+                    Fp, D, grid, periodic, cfg, 0, 1e-6, 1000.0,
+                    interpret=False)) * 1e-30, None),
+            D0, None, length=n)[0]))
+        return lambda: f(bins0.D, Fp0)
 
     sel = None
     for a in sys.argv[1:]:

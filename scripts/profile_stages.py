@@ -53,6 +53,8 @@ def main():
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
             periodic=(True, True, False), wall_axes=(False, False, True),
             neighbor="cells", cell_capacity=4, max_neighbors=8,
+            # match bench.py: persistent Verlet list
+            list_reuse=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
@@ -296,6 +298,23 @@ def main():
             return jnp.sum(p) + jnp.sum(v)
         return jax.jit(go)
 
+    # --- DEM substeps with a prebuilt (persistent) list ---------------------
+    def dem_reuse(n):
+        def go():
+            nbr = dem.build_neighbor_list(ps0.pos, ps0.active, grid, cfg.dem,
+                                          cfg.r_max)
+            def body(carry, _):
+                pos, vel, ang = carry
+                p2, v2, a2, _ = dem.dem_substeps(
+                    pos, vel, ang, ps0.radius, ps0.active, hydro,
+                    grid, cfg.dem, dt / cfg.n_dem_substeps, cfg.n_dem_substeps,
+                    cfg.r_max, nbr=nbr)
+                return (p2, v2, a2), None
+            (p, v, a), _ = jax.lax.scan(body, (ps0.pos, ps0.vel, ps0.angvel),
+                                        None, length=n)
+            return jnp.sum(p) + jnp.sum(v)
+        return jax.jit(go)
+
     # --- neighbor list build only ------------------------------------------
     def nlist(n):
         def go():
@@ -382,6 +401,7 @@ def main():
     if want("planes"): timeit("exchange (planes)", exch_planes, k=6)
     if want("full planes"): timeit("full step (planes)", full_planes, k=6)
     if want("DEM"): timeit("DEM substeps (4)", dem_only, k=6)
+    if want("demreuse"): timeit("DEM substeps (prebuilt list)", dem_reuse, k=6)
     if want("list"): timeit("  neighbor list build", nlist, k=6)
     if want("force"): timeit("  neighbor force eval (x1)", nforce, k=8)
     if want("fluid"): timeit("fluid (turb + PIMPLE)", fluid_only, k=6)

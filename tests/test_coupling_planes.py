@@ -85,3 +85,37 @@ def test_planes_overflow_counted():
         cfg, prev_alpha=jnp.ones(grid.shape), interpret=True)
     assert int(res.n_overflow) == 4
     assert int(jnp.sum(res.found.astype(jnp.int32))) == 1
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_planes_torque_matches_sparse(fused):
+    """Torque mode under the planes exchange (angvel binned as 3 extra
+    channels, curl interpolated per slot): per-particle force AND torque
+    match the sparse path."""
+    grid = Grid.cube(12, 0.012)
+    cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                            stencil_shape="sphere2",
+                            exchange="planes", slot_capacity=6,
+                            use_torque=True, fused_planes=fused)
+    pf = _particles(grid, 40, pad=3)
+    u, gp, dtau, ddtu, curl = _fields(grid)
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97
+    periodic = (True, True, False)
+
+    sparse = cp.gaussian_coupling(pf, u, gp, dtau, ddtu, curl, grid,
+                                  periodic, 1e-6, 1000.0, 1e-4, cfg,
+                                  prev_alpha=prev_alpha)
+    planes = cpp.gaussian_coupling_planes(pf, u, gp, dtau, ddtu, curl, grid,
+                                          periodic, 1e-6, 1000.0, 1e-4, cfg,
+                                          prev_alpha=prev_alpha,
+                                          interpret=True)
+    assert int(planes.n_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(planes.found),
+                                  np.asarray(sparse.found))
+    np.testing.assert_allclose(np.asarray(planes.force),
+                               np.asarray(sparse.force), rtol=2e-4,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(planes.torque),
+                               np.asarray(sparse.torque), rtol=2e-4,
+                               atol=1e-12)
+    assert float(jnp.max(jnp.abs(planes.torque))) > 0.0

@@ -75,7 +75,8 @@ from .grid import Grid
 # ---------------------------------------------------------------------------
 
 class PlaneBins(NamedTuple):
-    D: jnp.ndarray            # (8, cap, ncells): px py pz vx vy vz rad act
+    D: jnp.ndarray            # (8[+3], cap, ncells): px py pz vx vy vz rad
+    #                           act [+ angvel xyz in torque mode]
     order: jnp.ndarray        # (N,) sorted-by-cell particle order
     inv_order: jnp.ndarray    # (N,) inverse permutation
     cell_sorted: jnp.ndarray  # (N,) flat cell per sorted particle (ncells=invalid)
@@ -85,16 +86,20 @@ class PlaneBins(NamedTuple):
 
 
 def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
-                         x_start=None, n_loc: Optional[int] = None) -> PlaneBins:
+                         x_start=None, n_loc: Optional[int] = None,
+                         with_angvel: bool = False) -> PlaneBins:
     """Bin into the full grid, or — given ``x_start`` (traced shard slab
     origin plane) and ``n_loc`` — into this shard's x-slab; particles
     outside the slab are invalid (the owner-shard mask of the sparse
-    sharded exchange)."""
+    sharded exchange). ``with_angvel`` appends the 3 angular-velocity
+    channels (torque mode); `act` stays at channel 7 so the kernels' pos
+    extraction is layout-stable."""
     N = pf.pos.shape[0]
     nx, ny, nz = grid.shape
     if n_loc is not None:
         nx = n_loc
     ncells = nx * ny * nz
+    C = 11 if with_angvel else 8
 
     base, inside = cp.locate(pf.pos, grid)
     valid = pf.active & inside
@@ -111,20 +116,21 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
     rank = rank_in_sorted_segments(cell_sorted)
     keep = (rank < cap) & (cell_sorted < ncells)
 
-    dat = jnp.concatenate(
-        [pf.pos, pf.vel, pf.radius[:, None],
-         valid.astype(pf.pos.dtype)[:, None]], axis=-1,
-    )[order]                                               # (N, 8) sorted
+    cols = [pf.pos, pf.vel, pf.radius[:, None],
+            valid.astype(pf.pos.dtype)[:, None]]
+    if with_angvel:
+        cols.append(pf.angvel)
+    dat = jnp.concatenate(cols, axis=-1)[order]            # (N, C) sorted
     dat = jnp.where(keep[:, None], dat, 0.0)
     # one-hot rank placement, channel-major columns (c*cap + k) so the
-    # post-scatter transpose is a pure reshape to (8, cap, ncells)
+    # post-scatter transpose is a pure reshape to (C, cap, ncells)
     oh = (rank[:, None] == jnp.arange(cap)[None, :]).astype(dat.dtype)
-    vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, 8 * cap)
+    vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, C * cap)
     rows = jnp.where(keep, cell_sorted, ncells)
-    tbl = jnp.zeros((ncells + 1, 8 * cap), dat.dtype).at[rows].add(
+    tbl = jnp.zeros((ncells + 1, C * cap), dat.dtype).at[rows].add(
         vals, indices_are_sorted=True
     )
-    D = tbl[:ncells].T.reshape(8, cap, ncells)
+    D = tbl[:ncells].T.reshape(C, cap, ncells)
 
     n_overflow = jnp.sum(((rank >= cap) & (cell_sorted < ncells)).astype(jnp.int32))
     return PlaneBins(D, order, inv_order, cell_sorted, rank, keep, n_overflow)
@@ -426,7 +432,7 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
     i = pl.program_id(0)
     dtype = stk_ref.dtype
 
-    D = d_ref[:, :, 0]                                     # (8, cap, ny, nz)
+    D = d_ref[:, :, 0]                                  # (8[+3], cap, ny, nz)
     pos = [D[0], D[1], D[2], D[7]]
     fxd, fyd, fzd = _axis_factors_plane(pos, i, grid, periodic, offsets,
                                         ny, nz, dtype, x_off=xoff_ref[0])
@@ -448,7 +454,7 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
 
     # physics (identical formulas; _physics_planes is shape-agnostic over
     # the trailing dims)
-    V, force, _torque, found = _physics_planes(
+    V, force, torque, found = _physics_planes(
         D, G, norm, cell_volume, nu, rho_f, cfg
     )
     Vn = V * inv_norm[None]                                # pre-normalized
@@ -469,11 +475,13 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
         for c in range(Vn.shape[0]):
             stk_ref[ci, c, 0] = accd[(combo, c)]
 
-    # per-slot particle results: force + found (torque is zero in planes
-    # mode — the dispatcher asserts use_torque off)
+    # per-slot particle results: force [+ torque] + found
     for c in range(3):
         pres_ref[c, :, 0] = force[c]
-    pres_ref[3, :, 0] = found.astype(dtype)
+    if cfg.use_torque:
+        for c in range(3):
+            pres_ref[3 + c, :, 0] = torque[c]
+    pres_ref[pres_ref.shape[0] - 1, :, 0] = found.astype(dtype)
 
 
 def fused_exchange_padded(
@@ -488,8 +496,9 @@ def fused_exchange_padded(
     *,
     interpret: bool = False,
 ):
-    """-> (stks (n_combo, 8, nxl, ny, nz), combos, force (3, cap, ncl),
-    found (cap, ncl)) for a (possibly slab-local) padded input stack."""
+    """-> (stks (n_combo, 8, nxl, ny, nz), combos, pres) where pres is
+    (4, cap, ncl) [fx fy fz found] or (7, ...) with torque channels 3:6 in
+    torque mode, for a (possibly slab-local) padded input stack."""
     C_in = Fp.shape[0]
     nxl, ny, nz = Fp.shape[1] - 2, Fp.shape[2] - 2, Fp.shape[3] - 2
     cap = cfg.slot_capacity
@@ -497,8 +506,10 @@ def fused_exchange_padded(
     combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
     n_combo = len(combos)
     C_out = 8
+    C_d = D.shape[0]
+    n_pres = 7 if cfg.use_torque else 4
 
-    Dp = D.reshape(8, cap, nxl, ny, nz)
+    Dp = D.reshape(C_d, cap, nxl, ny, nz)
     xoff_arr = jnp.asarray([x_off], jnp.int32)
 
     kernel = partial(_fused_kernel, grid=grid, periodic=periodic,
@@ -515,22 +526,21 @@ def fused_exchange_padded(
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
-            pl.BlockSpec((8, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+            pl.BlockSpec((C_d, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((n_combo, C_out, 1, ny, nz),
                          lambda i: (0, 0, i, 0, 0)),
-            pl.BlockSpec((4, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
+            pl.BlockSpec((n_pres, cap, 1, ny, nz), lambda i: (0, 0, i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_combo, C_out, nxl, ny, nz), Fp.dtype),
-            jax.ShapeDtypeStruct((4, cap, nxl, ny, nz), Fp.dtype),
+            jax.ShapeDtypeStruct((n_pres, cap, nxl, ny, nz), Fp.dtype),
         ],
         interpret=interpret,
         **({} if interpret else _COMPILER_KW),
     )(xoff_arr, Fp, Fp, Fp, Dp)
-    pres = pres.reshape(4, cap, nxl * ny * nz)
-    return stks, combos, pres[0:3], pres[3]
+    return stks, combos, pres.reshape(n_pres, cap, nxl * ny * nz)
 
 
 # ---------------------------------------------------------------------------
@@ -596,12 +606,16 @@ def _physics_planes(
     ])                                                     # (8, cap, ncells)
 
     if cfg.use_torque:
-        # angvel is not binned in plane mode (torque off by parity default,
-        # FoamYade.C:618); the dispatcher asserts before reaching here
-        raise NotImplementedError(
-            "use_torque with exchange='planes' requires binning angvel; "
-            "use exchange='sparse'")
-    torque = jnp.zeros_like(force)
+        # rotational Stokes drag pi d^3 nu rho (curl/2 - omega) — same
+        # formula as the sparse path (module-docstring divergence note on
+        # the reference's sign inconsistency, FoamYade.C:446-483); angvel
+        # rides as binned channels 8:11 (bin_particles_planes with_angvel)
+        angvel = D[8:11]
+        wf = 0.5 * curl
+        torque = jnp.pi * (dia ** 3)[None] * (wf - angvel) * nu * rho_f
+        torque = jnp.where(found[None], torque, 0.0)
+    else:
+        torque = jnp.zeros_like(force)
     force = jnp.where(found[None], force, 0.0)
     return V, force, torque, found
 
@@ -628,7 +642,6 @@ def gaussian_coupling_planes(
     interpret: Optional[bool] = None,
 ) -> cp.CouplingResult:
     assert cfg.lag_alpha, "exchange='planes' requires lag_alpha=True"
-    assert not cfg.use_torque, "planes mode: torque needs sparse exchange"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N = pf.pos.shape[0]
@@ -636,22 +649,24 @@ def gaussian_coupling_planes(
     ncells = grid.ncells
     Vc = grid.cell_volume
 
-    bins = bin_particles_planes(pf, grid, cap)
+    bins = bin_particles_planes(pf, grid, cap, with_angvel=cfg.use_torque)
 
     in_fields = [fluid_u, grad_p, div_tau]
+    if cfg.use_torque:
+        in_fields.append(curl_u)
     if cfg.use_added_mass:
         in_fields.append(ddt_u)
     in_fields.append(prev_alpha)
     F = cp._stack_channels(in_fields)                      # (C_in, grid)
 
     if cfg.fused_planes:
-        stks, combos, force, found = fused_exchange_padded(
+        stks, combos, pres = fused_exchange_padded(
             pad_wrap_zero(F, periodic), bins.D, grid, periodic, cfg, 0,
             nu, rho_f, interpret=interpret,
         )
         fields = _stack_epilogue(stks, combos)
-        n_res = 4
-        per = jnp.concatenate([force, found.astype(force.dtype)[None]])
+        n_res = pres.shape[0]
+        per = pres
     else:
         G, norm = interp_planes(F, bins.D, grid, periodic, cfg,
                                 interpret=interpret)

@@ -279,8 +279,7 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
 
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
-    assert ccfg.lag_alpha and not ccfg.use_torque, (
-        "planes exchange: lag_alpha required, torque via sparse path")
+    assert ccfg.lag_alpha, "planes exchange: lag_alpha required"
     periodic = bcs.periodic_axes()
     gbc = _gather_bc(bcs)
     ny, nz = grid.shape[1], grid.shape[2]
@@ -295,9 +294,12 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
         start = lax.axis_index(AXIS) * n_loc
         bins = cpp.bin_particles_planes(pf, grid, cap,
-                                        x_start=start, n_loc=n_loc)
+                                        x_start=start, n_loc=n_loc,
+                                        with_angvel=ccfg.use_torque)
 
         comps = [fs.u, grad_p, div_tau]
+        if ccfg.use_torque:
+            comps.append(curl_u)
         if ccfg.use_added_mass:
             comps.append(ddt_u)
         chans = []
@@ -308,11 +310,13 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         Fp = jnp.stack(chans)                       # (C_in, n_loc+2, ny+2, nz+2)
 
         if ccfg.fused_planes:
-            stks, combos, force, found = cpp.fused_exchange_padded(
+            stks, combos, pres = cpp.fused_exchange_padded(
                 Fp, bins.D, grid, periodic, ccfg, start, tp.nu, tp.rho_f,
                 interpret=interpret,
             )
-            torque = jnp.zeros_like(force)
+            force, found = pres[0:3], pres[pres.shape[0] - 1]
+            torque = (pres[3:6] if ccfg.use_torque
+                      else jnp.zeros_like(force))
         else:
             G, norm = cpp.interp_planes_padded(Fp, bins.D, grid, periodic,
                                                ccfg, start,
