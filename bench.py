@@ -78,7 +78,11 @@ def main():
             list_reuse=True,
         ),
         pimple=PIMPLEConfig(
-            n_outer=1, n_correctors=1,
+            # tracked metric: n_correctors=1, justified by the convergence
+            # assertion below; `--correctors=2` measures the reference-like
+            # 2-corrector loop for the PERF.md honesty row
+            n_outer=1,
+            n_correctors=2 if "--correctors=2" in sys.argv else 1,
             pressure=pr.PressureSolverConfig(solver="mgpcg", tol=1e-5, maxiter=40),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),
@@ -116,12 +120,28 @@ def main():
     materialize(state)
     dt_wall = (time.perf_counter() - t0) / (reps * n_steps)
 
+    # Convergence honesty (VERDICT r2 item 5): the tracked number is only
+    # meaningful if the single-corrector solve actually converges the
+    # tracked case. Assert the last measured steps' pressure residuals and
+    # continuity errors; report them in the JSON line.
+    p_final = float(np.max(np.asarray(diags.p_final_residual)))
+    p_init = float(np.max(np.asarray(diags.p_initial_residual)))
+    cont = float(np.max(np.abs(np.asarray(diags.cont_err_local))))
+    n_over = int(np.max(np.asarray(diags.n_contact_overflow)) +
+                 np.max(np.asarray(diags.n_coupling_overflow)))
+    assert p_final <= max(1e-5 * max(p_init, 1e-30), 5e-6), (
+        f"pressure solve not converged: final {p_final:g} vs initial {p_init:g}")
+    assert cont < 1e-5, f"continuity error {cont:g}"
+    assert n_over == 0, f"capacity overflows: {n_over}"
+
     steps_per_sec = 1.0 / dt_wall
     print(json.dumps({
         "metric": f"coupled steps/sec, {n_particles} 4-way particles, {nx}^3 grid, 1 chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 50.0, 4),
+        "p_residual_final_max": p_final,
+        "continuity_err_max": cont,
     }))
 
 

@@ -119,3 +119,38 @@ def test_planes_torque_matches_sparse(fused):
                                np.asarray(sparse.torque), rtol=2e-4,
                                atol=1e-12)
     assert float(jnp.max(jnp.abs(planes.torque))) > 0.0
+
+
+@pytest.mark.parametrize("periodic", [(True, True, False), (False, False, False)])
+def test_chunked_planes_matches_monolithic(periodic):
+    """Slab-chunked exchange (the 256^3 memory-bounding path): identical
+    results to the monolithic planes pipeline, including cross-chunk halo
+    deposits and the windowed unbin."""
+    import dataclasses
+    grid = Grid.cube(16, 0.016)
+    cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                            stencil_shape="sphere2",
+                            exchange="planes", slot_capacity=6)
+    cfg_c = dataclasses.replace(cfg, planes_chunks=4)
+    pf = _particles(grid, 120, pad=8)
+    u, gp, dtau, ddtu, curl = _fields(grid)
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97
+
+    mono = cpp.gaussian_coupling_planes(pf, u, gp, dtau, ddtu, curl, grid,
+                                        periodic, 1e-6, 1000.0, 1e-4, cfg,
+                                        prev_alpha=prev_alpha,
+                                        interpret=True)
+    chunk = cpp.gaussian_coupling_planes_chunked(
+        pf, u, gp, dtau, ddtu, curl, grid, periodic, 1e-6, 1000.0, 1e-4,
+        cfg_c, prev_alpha=prev_alpha, interpret=True)
+
+    assert int(chunk.n_overflow) == int(mono.n_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(chunk.found),
+                                  np.asarray(mono.found))
+    for name in ("alpha", "u_particle", "u_source", "u_source_drag"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(chunk, name)),
+            np.asarray(getattr(mono, name)), rtol=2e-5, atol=1e-7,
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(chunk.force),
+                               np.asarray(mono.force), rtol=2e-4, atol=1e-10)

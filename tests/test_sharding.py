@@ -273,3 +273,71 @@ def test_shear_history_sharded_matches_single():
     # springs), or this equivalence would be vacuous
     assert float(jnp.sum(jnp.abs(s1.particles.shear_xi))) > 0.0
     assert float(jnp.sum(jnp.abs(s8.particles.shear_xi))) > 0.0
+
+
+def test_bench_scale_sharded_matches_single():
+    """VERDICT r2 item 6: a bench-scale 1-vs-8 equivalence — thousands of
+    particles at realistic occupancy, flagship config (planes exchange +
+    fused kernel + shear history + persistent Verlet list single-device),
+    forced cross-slab traffic, all overflow counters zero."""
+    grid = Grid.cube(24, 0.024)
+    cfg = cd.CaseConfig(
+        grid=grid,
+        bcs=FluidBCs.channel_z(),
+        transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
+        solver="pimple",
+        coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                   stencil_shape="sphere2",
+                                   exchange="planes", slot_capacity=6),
+        dem=dem.DEMConfig(
+            params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+            gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+            periodic=(True, True, False), wall_axes=(False, False, True),
+            neighbor="cells", cell_capacity=10, max_neighbors=48,
+            shear_history=True,
+        ),
+        pimple=PIMPLEConfig(n_outer=1, n_correctors=1, pressure=_PCFG),
+        gravity_fluid=(0.0, 0.0, -9.81),
+        n_dem_substeps=2,
+        r_max=4e-4,
+    )
+    rng = np.random.RandomState(11)
+    N = 3000
+    pos = rng.uniform(0.1 * 0.024, 0.9 * 0.024, (N, 3))
+    vel = np.zeros((N, 3), np.float32)
+    # cross-slab traffic: strong +-x drift (x is the sharded axis)
+    vel[:, 0] = rng.choice([-0.5, 0.5], N)
+    state = cd.initialize_state(
+        make_fluid_state(cfg.grid),
+        make_particle_state(pos=pos, vel=vel, radius=4e-4),
+        make_turbulence_state(cfg.grid),
+        cfg, dt=1e-4,
+    )
+    n = 4
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    # overflow counters: exactness contract at this occupancy
+    for d in (d1, d8):
+        assert int(np.max(np.asarray(d.n_contact_overflow))) == 0
+        assert int(np.max(np.asarray(d.n_coupling_overflow))) == 0
+    assert int(np.max(np.asarray(d8.n_shard_overflow))) == 0
+    assert int(d8.n_found[-1]) == N
+
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    # migrations actually happened: slab of some pid changed across steps
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(p8["vel"], p1["vel"], rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.alpha), np.asarray(s1.fluid.alpha),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u),
+        rtol=1e-2, atol=1e-5)
+    # the drift really crossed slab boundaries
+    slab0 = (np.asarray(state.particles.pos)[:, 0] // (0.024 / 8)).astype(int)
+    order = np.argsort(np.asarray(state.particles.pid))
+    slab1 = (p1["pos"][:, 0] // (0.024 / 8)).astype(int)
+    assert (slab0[order] != slab1).sum() > 50

@@ -127,8 +127,14 @@ def exchange(
     pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
     if cfg.gaussian:
         if cfg.exchange == "planes":
-            from ..ops.coupling_planes import gaussian_coupling_planes
-            fn = gaussian_coupling_planes
+            if cfg.planes_chunks > 1:
+                from ..ops.coupling_planes import (
+                    gaussian_coupling_planes_chunked,
+                )
+                fn = gaussian_coupling_planes_chunked
+            else:
+                from ..ops.coupling_planes import gaussian_coupling_planes
+                fn = gaussian_coupling_planes
         elif cfg.exchange == "slots":
             from ..ops.coupling_slots import gaussian_coupling_slots
             fn = gaussian_coupling_slots

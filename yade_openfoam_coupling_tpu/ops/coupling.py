@@ -108,6 +108,12 @@ class CouplingConfig:
     # round-trips, the XLA physics pass, and the second exp pass. False
     # keeps the two-kernel pipeline (equivalence-tested against it).
     fused_planes: bool = True
+    # planes mode: process the exchange in this many x-slab chunks
+    # (`coupling_planes.gaussian_coupling_planes_chunked`). 1 = monolithic.
+    # At 256^3 the staging/unbin tables lane-pad to ~8.6 GB; 8 chunks
+    # bound every transient at ~1.1 GB so the 1M north-star config runs
+    # the flagship pipeline single-chip (round-3 item; PERF.md).
+    planes_chunks: int = 1
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4

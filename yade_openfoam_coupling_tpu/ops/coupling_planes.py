@@ -715,3 +715,193 @@ def gaussian_coupling_planes(
         found=res_found > 0.5,
         n_overflow=bins.n_overflow,
     )
+
+
+# ---------------------------------------------------------------------------
+# Slab-chunked exchange: the flagship pipeline at 256^3 scale
+# ---------------------------------------------------------------------------
+
+def gaussian_coupling_planes_chunked(
+    pf: cp.ParticleFields,
+    fluid_u: jnp.ndarray,
+    grad_p: jnp.ndarray,
+    div_tau: jnp.ndarray,
+    ddt_u: jnp.ndarray,
+    curl_u: jnp.ndarray,
+    grid: Grid,
+    periodic: Tuple[bool, bool, bool],
+    nu: float,
+    rho_f: float,
+    dt,
+    cfg: cp.CouplingConfig,
+    prev_alpha=None,
+    *,
+    interpret: Optional[bool] = None,
+) -> cp.CouplingResult:
+    """The planes exchange processed in `cfg.planes_chunks` x-slabs.
+
+    At 256^3 the monolithic staging/unbin tables lane-pad to ~8.6 GB
+    (minor dim 8*cap pads to 128), which forced the 1M north-star config
+    onto the slow sparse path (PERF.md item 6). Chunking bounds every
+    lane-padded transient at 1/n_chunks of that while keeping the SAME
+    fused kernel (its `x_off` slab support was built for the sharded
+    exchange, `parallel/sharded._make_planes_exchange`):
+
+      * ONE global argsort orders particles by (x-major) flat cell id, so
+        each slab's population is a contiguous window — fetched with a
+        traced `dynamic_slice` at the searchsorted chunk boundary, masked
+        to the true count (fixed shapes, no host round-trips);
+      * per slab: windowed staging scatter -> fused kernel (x_off = slab
+        origin) -> halo-extended epilogue accumulated into the global
+        fields with wrap (the single-device analog of the sharded ring
+        add) -> windowed unbin written back through the same window.
+
+    The body runs under `lax.fori_loop`, so it compiles ONCE regardless of
+    n_chunks. Overflow contract: slot-capacity drops are counted globally
+    (identical semantics to the unchunked path); a slab population larger
+    than the window capacity (2N/n_chunks by default) adds to the count.
+    """
+    assert cfg.lag_alpha, "planes exchange requires lag_alpha=True"
+    assert cfg.fused_planes, "chunked planes: fused kernel only"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_chunks = cfg.planes_chunks
+    nx, ny, nz = grid.shape
+    assert nx % n_chunks == 0, (nx, n_chunks)
+    nxc = nx // n_chunks
+    ncl = nxc * ny * nz
+    ncells = grid.ncells
+    cap = cfg.slot_capacity
+    C_d = 11 if cfg.use_torque else 8
+    n_res = 7 if cfg.use_torque else 4
+    N = pf.pos.shape[0]
+    Vc = grid.cell_volume
+    # window capacity: ceil to a multiple of 8 lanes-friendly size
+    N_w = min(N, max(1024, int(2 * N / n_chunks + 1023) // 1024 * 1024))
+
+    # --- global locate + single sort -----------------------------------
+    base, inside = cp.locate(pf.pos, grid)
+    valid = pf.active & inside
+    cell = base[:, 0] * (ny * nz) + base[:, 1] * nz + base[:, 2]
+    cell = jnp.where(valid, cell, ncells)
+    order = jnp.argsort(cell)
+    inv_order = jnp.argsort(order)
+    cell_s = cell[order]
+    rank_s = rank_in_sorted_segments(cell_s)
+
+    cols = [pf.pos, pf.vel, pf.radius[:, None],
+            valid.astype(pf.pos.dtype)[:, None]]
+    if cfg.use_torque:
+        cols.append(pf.angvel)
+    dat_s = jnp.concatenate(cols, axis=-1)[order]          # (N, C_d)
+
+    bounds = jnp.searchsorted(
+        cell_s, jnp.arange(n_chunks + 1, dtype=jnp.int32) * (nxc * ny * nz)
+    ).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    window_over = jnp.sum(jnp.maximum(counts - N_w, 0))
+    slot_over = jnp.sum(((rank_s >= cap) & (cell_s < ncells)).astype(jnp.int32))
+
+    # --- global padded input stack --------------------------------------
+    in_fields = [fluid_u, grad_p, div_tau]
+    if cfg.use_torque:
+        in_fields.append(curl_u)
+    if cfg.use_added_mass:
+        in_fields.append(ddt_u)
+    in_fields.append(prev_alpha)
+    Fpg = pad_wrap_zero(cp._stack_channels(in_fields), periodic)
+    C_in = Fpg.shape[0]
+
+    oh_k = jnp.arange(cap, dtype=jnp.int32)
+
+    def chunk_body(c, carry):
+        fields_acc, res_s = carry
+        x0 = c * nxc
+        s = bounds[c]
+        e = bounds[c + 1]
+        start = jnp.clip(jnp.minimum(s, N - N_w), 0, None)
+        dat_w = jax.lax.dynamic_slice(dat_s, (start, 0), (N_w, C_d))
+        cell_w = jax.lax.dynamic_slice(cell_s, (start,), (N_w,))
+        rank_w = jax.lax.dynamic_slice(rank_s, (start,), (N_w,))
+        idx_w = start + jnp.arange(N_w, dtype=jnp.int32)
+        in_chunk = (idx_w >= s) & (idx_w < e)
+        cell_loc = cell_w - x0 * (ny * nz)
+        keep = in_chunk & (rank_w < cap) & (cell_w < ncells)
+
+        # staging scatter into the slab table
+        dat_m = jnp.where(keep[:, None], dat_w, 0.0)
+        oh = (rank_w[:, None] == oh_k[None, :]).astype(dat_m.dtype)
+        vals = (dat_m[:, :, None] * oh[:, None, :]).reshape(N_w, C_d * cap)
+        rows = jnp.where(keep, cell_loc, ncl)
+        tbl = jnp.zeros((ncl + 1, C_d * cap), dat_m.dtype).at[rows].add(
+            vals, indices_are_sorted=True)
+        D = tbl[:ncl].T.reshape(C_d, cap, ncl)
+
+        # slab fluid stack: padded-global plane x0 is global plane x0-1
+        Fp_c = jax.lax.dynamic_slice(
+            Fpg, (0, x0, 0, 0), (C_in, nxc + 2, ny + 2, nz + 2))
+        stks, combos, pres = fused_exchange_padded(
+            Fp_c, D, grid, periodic, cfg, x0, nu, rho_f, interpret=interpret)
+
+        # epilogue: dy rolls slab-local, dx into a halo-extended slab
+        ext = jnp.zeros((8, nxc + 2, ny, nz), stks.dtype)
+        for ci, (dx, dy) in enumerate(combos):
+            v = stks[ci]
+            if dy:
+                v = jnp.roll(v, dy, axis=2)
+            ext = ext.at[:, 1 + dx: 1 + dx + nxc].add(v)
+
+        # accumulate: interior slab + two wrapped halo planes (non-periodic
+        # x edges receive zeros by the kernel's wall masks — harmless adds)
+        cur = jax.lax.dynamic_slice(
+            fields_acc, (0, x0, 0, 0), (8, nxc, ny, nz))
+        fields_acc = jax.lax.dynamic_update_slice(
+            fields_acc, cur + ext[:, 1:-1], (0, x0, 0, 0))
+        for plane, src in ((jnp.mod(x0 - 1, nx), ext[:, 0]),
+                           (jnp.mod(x0 + nxc, nx), ext[:, -1])):
+            curp = jax.lax.dynamic_slice(
+                fields_acc, (0, plane, 0, 0), (8, 1, ny, nz))
+            fields_acc = jax.lax.dynamic_update_slice(
+                fields_acc, curp + src[:, None], (0, plane, 0, 0))
+
+        # windowed unbin
+        tr = pres.reshape(n_res * cap, ncl).T              # (ncl, cap*n_res)
+        rows2 = jnp.clip(cell_loc, 0, ncl - 1)
+        g = tr[rows2].reshape(N_w, n_res, cap)
+        sel = ((rank_w[:, None] == oh_k[None, :]) & keep[:, None]
+               ).astype(g.dtype)
+        res_w = jnp.einsum("nck,nk->nc", g, sel)
+        cur_r = jax.lax.dynamic_slice(res_s, (start, 0), (N_w, n_res))
+        res_s = jax.lax.dynamic_update_slice(
+            res_s, jnp.where(in_chunk[:, None], res_w, cur_r), (start, 0))
+        return fields_acc, res_s
+
+    fields_acc = jnp.zeros((8,) + grid.shape, pf.pos.dtype)
+    res_s0 = jnp.zeros((N, n_res), pf.pos.dtype)
+    fields_acc, res_s = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (fields_acc, res_s0))
+
+    fields = fields_acc.reshape(8, ncells)
+    pvol, up = fields[0], fields[1:4]
+    alpha = jnp.maximum(1.0 - pvol / Vc, cfg.alpha_min)
+    u_particle = up / Vc
+    u_source_drag = fields[4]
+    u_source = u_source_drag[None] * u_particle + fields[5:8]
+
+    res = res_s[inv_order]
+    if n_res == 4:
+        res_force, res_torque, res_found = (
+            res[:, 0:3], jnp.zeros_like(res[:, 0:3]), res[:, 3])
+    else:
+        res_force, res_torque, res_found = res[:, 0:3], res[:, 3:6], res[:, 6]
+
+    return cp.CouplingResult(
+        force=res_force,
+        torque=res_torque,
+        alpha=alpha.reshape(grid.shape),
+        u_particle=u_particle.reshape((3,) + grid.shape),
+        u_source=u_source.reshape((3,) + grid.shape),
+        u_source_drag=u_source_drag.reshape(grid.shape),
+        found=res_found > 0.5,
+        n_overflow=slot_over + window_over,
+    )
