@@ -73,9 +73,12 @@ def main():
             # and neighbor count keep the gather row counts minimal
             cell_capacity=4,
             max_neighbors=8,
-            # persistent Verlet list: amortize the dominant list-build cost
-            # over ~10 steps (displacement-gated lax.cond rebuild)
+            # persistent Verlet list with statically-scheduled rebuild:
+            # one unconditional build per 5-step scan chunk (no lax.cond —
+            # 15.6 ms/step of conditional overhead on v5e, abl_r3.py);
+            # staleness guarded by the n_contact_overflow assertion below
             list_reuse=True,
+            list_rebuild_steps=5,
         ),
         pimple=PIMPLEConfig(
             # tracked metric: n_correctors=1, justified by the convergence
@@ -92,7 +95,17 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    pos = rng.uniform(0.1 * length, 0.9 * length, (n_particles, 3))
+    # jittered non-overlapping lattice: a random-uniform cloud at this
+    # density contains overlapping pairs whose spring blow-apart creates
+    # multi-m/s particles — unphysical for a suspension and hostile to the
+    # Verlet-skin schedule (the staleness assertion below would fire)
+    def lattice_positions(n, lo, hi, jitter):
+        k = int(np.ceil(n ** (1.0 / 3.0)))
+        g = np.stack(np.meshgrid(*[np.linspace(lo, hi, k)] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)[:n]
+        return g + rng.uniform(-jitter, jitter, g.shape)
+    pos = lattice_positions(n_particles, 0.1 * length, 0.9 * length,
+                            0.2 * length / int(np.ceil(n_particles ** (1/3.))))
     state = cd.initialize_state(
         make_fluid_state(grid),
         make_particle_state(pos=pos, radius=radius),

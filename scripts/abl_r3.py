@@ -32,7 +32,8 @@ def main():
     radius = 4e-4
     grid = Grid.cube(nx, length)
 
-    def make_cfg(fused, reuse, extrap=0.0, bf16=False):
+    def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
+                 pre=2, post=2):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -47,13 +48,14 @@ def main():
                 gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
                 periodic=(True, True, False), wall_axes=(False, False, True),
                 neighbor="cells", cell_capacity=4, max_neighbors=8,
-                list_reuse=reuse,
+                list_reuse=reuse, list_margin_factor=margin,
             ),
             pimple=PIMPLEConfig(
                 n_outer=1, n_correctors=1, p_extrapolate=extrap,
                 pressure=pr.PressureSolverConfig(
                     solver="mgpcg", tol=1e-5, maxiter=40,
-                    mg=pr.MGConfig(bf16=bf16)),
+                    mg=pr.MGConfig(bf16=bf16, pre_smooth=pre,
+                                   post_smooth=post)),
             ),
             turbulence=TurbulenceConfig(model="kEqn"),
             gravity_fluid=(0.0, 0.0, -9.81),
@@ -86,7 +88,11 @@ def main():
             t2 = time.perf_counter(); float(fk()); t3 = time.perf_counter()
             ms = ((t3 - t2) - (t1 - t0)) / (k - 1) * 1e3
             best = ms if best is None else min(best, ms)
-        print(f"{name:44s} {best:9.2f} ms/step", flush=True)
+        run = cd.make_scan_fn(cfg, k)
+        _, diags = run(state)
+        iters = np.asarray(diags.p_iters)
+        print(f"{name:44s} {best:9.2f} ms/step   p_iters={iters.tolist()}",
+              flush=True)
 
     sel = None
     for a in sys.argv[1:]:
@@ -105,6 +111,11 @@ def main():
     for name, (fu, re_, ex, bf) in cases.items():
         if sel is None or any(s in name for s in sel):
             measure(name, make_cfg(fu, re_, ex, bf))
+    if sel is None or any(s in "H nocond" for s in sel):
+        measure("H fused=1 reuse=1 NO-COND", make_cfg(True, True, margin=-1.0))
+    if sel is None or any(s in "I mg11" for s in sel):
+        measure("I fused=1 reuse=1 mg 1+1 smooth",
+                make_cfg(True, True, pre=1, post=1))
 
 
 if __name__ == "__main__":

@@ -1,13 +1,13 @@
 """North-star single-chip measurement: 1M 4-way particles on a 256^3 grid.
 
-Memory-bounded configuration (15.75 GB HBM on 1x v5e): lagged-alpha
-exchange with 8-way particle chunking (the (N,S,c) transients lane-pad
-10-40x), DEM force chunking, direct-scatter deposit fallback (the anchor
-roll buffer would need ~14 GB at 256^3), and the (N,27)-row candidate
-gather (the dense-roll table would exceed its slot budget). The
-plane-dense exchange is not used here: its (ncells, 8*cap) staging table
-lane-pads to ~8.6 GB at 256^3 — the sharded 8-chip path (2.1M cells and
-~125k particles per shard) is the intended route to the 50 steps/s target.
+Round 3: the flagship plane-dense exchange now runs here via the
+slab-chunked pipeline (`gaussian_coupling_planes_chunked`, 8 x-slabs of
+32 planes) — every lane-padded staging/unbin transient is bounded at
+~1.1 GB instead of the 8.6 GB monolithic table that forced the sparse
+fallback in round 2. DEM keeps the (N,27)-row candidate gather (dense
+rolls exceed their slot budget at 213^3 hash bins) with the persistent
+Verlet list amortizing the build, and force chunking bounds the
+lane-padded force transients.
 
 Prints one JSON line like bench.py.
 """
@@ -49,13 +49,14 @@ def main():
         solver="pimple",
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   particle_chunks=8),
+                                   exchange="planes", slot_capacity=4,
+                                   planes_chunks=8),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
             periodic=(True, True, False), wall_axes=(False, False, True),
             neighbor="cells", cell_capacity=4, max_neighbors=8,
-            force_chunks=8,
+            force_chunks=8, list_reuse=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
@@ -69,7 +70,17 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    pos = rng.uniform(0.1 * length, 0.9 * length, (n_particles, 3))
+    # jittered non-overlapping lattice: a random-uniform cloud at this
+    # density contains overlapping pairs whose spring blow-apart creates
+    # multi-m/s particles — unphysical for a suspension and hostile to the
+    # Verlet-skin schedule (the staleness assertion below would fire)
+    def lattice_positions(n, lo, hi, jitter):
+        k = int(np.ceil(n ** (1.0 / 3.0)))
+        g = np.stack(np.meshgrid(*[np.linspace(lo, hi, k)] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)[:n]
+        return g + rng.uniform(-jitter, jitter, g.shape)
+    pos = lattice_positions(n_particles, 0.1 * length, 0.9 * length,
+                            0.2 * length / int(np.ceil(n_particles ** (1/3.))))
     state = cd.initialize_state(
         make_fluid_state(grid),
         make_particle_state(pos=pos, radius=radius),

@@ -185,3 +185,65 @@ def test_persistent_list_rebuild_triggers():
             pos, vel, ang, rad, act, hydro, grid, cfg, dt, 10, r, nbr=nbr)
     # collision must have happened: particle 1 got momentum
     assert float(vel[1, 0]) > 0.3
+
+
+def test_chunked_scan_rebuild_matches_per_step():
+    """list_rebuild_steps=K (statically scheduled rebuild in make_scan_fn,
+    no lax.cond): same trajectories as per-step rebuild, staleness
+    diagnostic stays zero for slow drift."""
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+
+    rng = np.random.RandomState(7)
+    N = 100
+    grid = Grid.cube(16, 16e-3)
+    r = 4e-4
+
+    def build(reuse, K):
+        return cd.CaseConfig(
+            grid=grid, bcs=FluidBCs.channel_z(),
+            transport=cd.TransportProperties(),
+            solver="pimple",
+            coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                       stencil_shape="sphere2",
+                                       exchange="planes", slot_capacity=8),
+            dem=dem.DEMConfig(
+                params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+                gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+                periodic=(True, True, False), wall_axes=(False, False, True),
+                neighbor="cells", cell_capacity=12, max_neighbors=24,
+                list_reuse=reuse, list_rebuild_steps=K,
+            ),
+            n_dem_substeps=2, r_max=r,
+        )
+
+    # non-overlapping jittered lattice: random placement overlaps at this
+    # density and the spring blow-apart creates genuinely fast particles
+    # (which the staleness diagnostic then correctly flags)
+    g5 = np.stack(np.meshgrid(*[np.linspace(0.25, 0.75, 5) * 16e-3] * 3,
+                              indexing="ij"), -1).reshape(-1, 3)[:N]
+    pos0 = g5 + rng.uniform(-2e-4, 2e-4, g5.shape)
+
+    results = {}
+    for key, (reuse, K) in {"norm": (False, 0), "chunk": (True, 3)}.items():
+        cfg = build(reuse, K)
+        state = cd.initialize_state(
+            make_fluid_state(grid),
+            make_particle_state(pos=pos0, radius=r),
+            make_turbulence_state(grid, k0=1e-6),
+            cfg, dt=5e-5)
+        run = cd.make_scan_fn(cfg, 7)   # 2 full chunks + remainder of 1
+        state, diags = run(state)
+        assert int(np.max(np.asarray(diags.n_contact_overflow))) == 0
+        results[key] = state
+
+    np.testing.assert_allclose(np.asarray(results["chunk"].particles.pos),
+                               np.asarray(results["norm"].particles.pos),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(results["chunk"].fluid.p),
+                               np.asarray(results["norm"].fluid.p),
+                               rtol=1e-4, atol=1e-7)

@@ -202,6 +202,7 @@ def coupled_step(
     exchange_fn=None,
     dem_fn=None,
     fluid_fn=None,
+    frozen_list: bool = False,
 ) -> Tuple[SimState, StepDiagnostics]:
     """Advance the coupled system one fluid time step.
 
@@ -266,27 +267,45 @@ def coupled_step(
         assert ps.nbr is not None, "initialize_state builds the first list"
         bin_size = demod.effective_bin_size(grid, cfg.dem, cfg.r_max)
         margin = cfg.dem.list_margin_factor * (bin_size - 2.0 * cfg.r_max)
-        assert margin > 0.0, (
+        assert margin > 0.0 or cfg.dem.list_margin_factor < 0, (
             "list_reuse needs skin slack: effective bin size "
             f"{bin_size:g} <= 2*r_max {2 * cfg.r_max:g}")
-        disp = jnp.max(jnp.where(
-            ps.active,
-            jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0))
-        # max-norm per axis with periodic wrap: a particle that wrapped
-        # across the box reads as a huge displacement -> harmless rebuild
-        need = disp >= margin
+        if frozen_list:
+            # statically-scheduled rebuild (make_scan_fn chunks): use the
+            # carried list as-is — NO lax.cond (15.6 ms/step of pure
+            # conditional overhead measured on v5e, scripts/abl_r3.py).
+            # Safety becomes a diagnostic: particles whose drift since the
+            # chunk's rebuild exceeds the skin margin may have unseen
+            # contacts — count them as contact overflow (0 = exact).
+            nbr = ps.nbr
+            disp = jnp.where(
+                ps.active,
+                jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0)
+            n_list_overflow = jnp.sum((disp >= margin).astype(jnp.int32))
+        elif cfg.dem.list_margin_factor < 0:
+            # debug/measurement mode: never rebuild, no lax.cond in the
+            # graph (quantifies the conditional's own in-context cost)
+            nbr = ps.nbr
+        else:
+            disp = jnp.max(jnp.where(
+                ps.active,
+                jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0))
+            # max-norm per axis with periodic wrap: a particle that wrapped
+            # across the box reads as a huge displacement -> harmless rebuild
+            need = disp >= margin
 
-        def _rebuild(_):
-            nbr2, ov = demod.build_neighbor_list(
-                ps.pos, ps.active, grid, cfg.dem, cfg.r_max,
-                return_overflow=True)
-            return nbr2, ps.pos, ov
+            def _rebuild(_):
+                nbr2, ov = demod.build_neighbor_list(
+                    ps.pos, ps.active, grid, cfg.dem, cfg.r_max,
+                    return_overflow=True)
+                return nbr2, ps.pos, ov
 
-        def _keep(_):
-            return ps.nbr, ps.nbr_ref_pos, jnp.int32(0)
+            def _keep(_):
+                return ps.nbr, ps.nbr_ref_pos, jnp.int32(0)
 
-        nbr, ref_pos, n_list_overflow = jax.lax.cond(need, _rebuild, _keep, None)
-        ps = ps._replace(nbr=nbr, nbr_ref_pos=ref_pos)
+            nbr, ref_pos, n_list_overflow = jax.lax.cond(
+                need, _rebuild, _keep, None)
+            ps = ps._replace(nbr=nbr, nbr_ref_pos=ref_pos)
 
     if dem_fn is None:
         if cfg.dem.shear_history:
@@ -379,12 +398,44 @@ def make_step_fn(cfg: CaseConfig):
 
 def make_scan_fn(cfg: CaseConfig, n_steps: int):
     """jit-compiled `lax.scan` over n_steps coupled steps (the inner loop
-    the benchmarks time — zero host round-trips between steps)."""
+    the benchmarks time — zero host round-trips between steps).
+
+    With `cfg.dem.list_rebuild_steps = K > 0` (and `list_reuse`) the scan
+    is restructured as chunks of [one unconditional Verlet-list rebuild ->
+    K frozen-list steps]: the rebuild amortizes 1/K with NO per-step
+    `lax.cond` (see DEMConfig.list_rebuild_steps; staleness is surfaced in
+    `StepDiagnostics.n_contact_overflow`)."""
+    K = cfg.dem.list_rebuild_steps
+    chunked = (cfg.dem.list_reuse and K > 0 and cfg.dem.neighbor == "cells")
+
+    if not chunked:
+        def run(state: SimState):
+            def body(s, _):
+                s, d = coupled_step(s, cfg)
+                return s, d
+            return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.jit(run)
+
+    n_chunks, rem = divmod(n_steps, K)
+    sizes = [K] * n_chunks + ([rem] if rem else [])
+
+    def rebuild(s: SimState) -> SimState:
+        ps = s.particles
+        nbr = demod.build_neighbor_list(ps.pos, ps.active, cfg.grid,
+                                        cfg.dem, cfg.r_max)
+        return s._replace(particles=ps._replace(nbr=nbr, nbr_ref_pos=ps.pos))
 
     def run(state: SimState):
-        def body(s, _):
-            s, d = coupled_step(s, cfg)
-            return s, d
-        return jax.lax.scan(body, state, None, length=n_steps)
+        diags = []
+        for sz in sizes:
+            state = rebuild(state)
+
+            def body(s, _):
+                s, d = coupled_step(s, cfg, frozen_list=True)
+                return s, d
+            state, d = jax.lax.scan(body, state, None, length=sz)
+            diags.append(d)
+        d_all = jax.tree.map(lambda *xs: jnp.concatenate(xs), *diags)
+        return state, d_all
 
     return jax.jit(run)

@@ -89,6 +89,17 @@ class DEMConfig:
     # drift may consume before a rebuild; 0.5 = the standard "skin/2 per
     # particle" bound (two particles approaching from opposite sides)
     list_margin_factor: float = 0.5
+    # Statically scheduled rebuild (the fast path): with K > 0,
+    # `make_scan_fn` restructures its scan as ceil(n/K) chunks of
+    # [unconditional rebuild -> K frozen-list coupled steps]. This removes
+    # the per-step `lax.cond` entirely — measured at 15.6 ms/step of pure
+    # conditional overhead on v5e (scripts/abl_r3.py H vs A) — while the
+    # skin-criterion safety moves to a DIAGNOSTIC: frozen steps count
+    # particles whose drift exceeded the margin into
+    # `StepDiagnostics.n_contact_overflow` (0 = list provably valid;
+    # bench.py asserts it). K=0 keeps the per-step cond (single-step
+    # drivers, adaptive workloads).
+    list_rebuild_steps: int = 0
     # cap on hash-bin count: the (nbin, cap) slot table is lane-padded, so
     # HBM cost ~ nbin * 512 B regardless of cap <= 128; bins are enlarged
     # (and should carry a bigger cap) when the 2r(1+skin) sizing would
