@@ -33,7 +33,7 @@ def main():
     grid = Grid.cube(nx, length)
 
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
-                 pre=2, post=2):
+                 pre=2, post=2, levels=0, coarse=20, K=0, shear=False):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -49,13 +49,15 @@ def main():
                 periodic=(True, True, False), wall_axes=(False, False, True),
                 neighbor="cells", cell_capacity=4, max_neighbors=8,
                 list_reuse=reuse, list_margin_factor=margin,
+                list_rebuild_steps=K, shear_history=shear,
             ),
             pimple=PIMPLEConfig(
                 n_outer=1, n_correctors=1, p_extrapolate=extrap,
                 pressure=pr.PressureSolverConfig(
                     solver="mgpcg", tol=1e-5, maxiter=40,
                     mg=pr.MGConfig(bf16=bf16, pre_smooth=pre,
-                                   post_smooth=post)),
+                                   post_smooth=post, levels=levels,
+                                   coarse_iters=coarse)),
             ),
             turbulence=TurbulenceConfig(model="kEqn"),
             gravity_fluid=(0.0, 0.0, -9.81),
@@ -116,6 +118,22 @@ def main():
     if sel is None or any(s in "I mg11" for s in sel):
         measure("I fused=1 reuse=1 mg 1+1 smooth",
                 make_cfg(True, True, pre=1, post=1))
+    if sel is None or any(s in "J mglv4" for s in sel):
+        measure("J K=5 mg levels=4 coarse=10",
+                make_cfg(True, True, levels=4, coarse=10, K=5))
+    if sel is None or any(s in "L mg33" for s in sel):
+        measure("L K=5 mg 3+3 smooth",
+                make_cfg(True, True, pre=3, post=3, K=5))
+    if sel is None or any(s in "M base-K5" for s in sel):
+        measure("M K=5 baseline mg", make_cfg(True, True, K=5))
+    if sel is None or any(s in "N mglv3" for s in sel):
+        measure("N K=5 mg levels=3 coarse=12",
+                make_cfg(True, True, levels=3, coarse=12, K=5))
+    if sel is None or any(s in "S shear" for s in sel):
+        # VERDICT r2 item 9: the Yade-default contact law's TPU cost at
+        # the tracked scale
+        measure("S K=5 shear_history=True", make_cfg(True, True, K=5,
+                                                     shear=True))
 
 
 if __name__ == "__main__":

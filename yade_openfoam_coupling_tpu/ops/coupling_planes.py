@@ -85,9 +85,46 @@ class PlaneBins(NamedTuple):
     n_overflow: jnp.ndarray   # int32
 
 
+def _staging_scatter(dat, oh, cell_sorted, keep, C, cap, ncells, nz,
+                     packed=False):
+    """Scatter sorted per-particle channel rows into the channel-major slot
+    planes D (C, cap, ncells).
+
+    Packed layout (the round-3 win, measured 12.9 -> 2.2 ms at 100k/128^3,
+    scripts/micro_pack.py): a staging row of `(ncells, C*cap)` lane-pads
+    its minor dim to 128 — a 1.1 GB table at 128^3 that the zeros-init,
+    scatter, and transpose all traverse. Packing `zp = 128 // (C*cap)`
+    z-consecutive cells per row gives a (ncells/zp, zp*C*cap<=128) table
+    with no padding waste; the channel-major planes are reconstructed from
+    zp contiguous column-block transposes + one stack/reshape interleave
+    (cheap — XLA fuses it into one relayout). Falls back to the monolithic
+    row layout when zp doesn't divide nz."""
+    N = dat.shape[0]
+    zp = max(1, 128 // (C * cap)) if packed else 1
+    if zp > 1 and nz % zp == 0 and ncells % zp == 0:
+        ncp = ncells // zp
+        m = jnp.mod(cell_sorted, zp)
+        moh = (m[:, None] == jnp.arange(zp)[None, :]).astype(dat.dtype)
+        # vals layout [m][c][k]
+        sel = (moh[:, :, None, None] * oh[:, None, None, :])  # (N, zp, 1, cap)
+        vals = (dat[:, None, :, None] * sel).reshape(N, zp * C * cap)
+        rows = jnp.where(keep, cell_sorted // zp, ncp)
+        tbl = jnp.zeros((ncp + 1, zp * C * cap), dat.dtype).at[rows].add(
+            vals, indices_are_sorted=True)
+        blocks = [tbl[:ncp, mm * C * cap:(mm + 1) * C * cap].T
+                  for mm in range(zp)]                     # zp x (C*cap, ncp)
+        return jnp.stack(blocks, axis=-1).reshape(C, cap, ncells)
+    vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, C * cap)
+    rows = jnp.where(keep, cell_sorted, ncells)
+    tbl = jnp.zeros((ncells + 1, C * cap), dat.dtype).at[rows].add(
+        vals, indices_are_sorted=True)
+    return tbl[:ncells].T.reshape(C, cap, ncells)
+
+
 def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
                          x_start=None, n_loc: Optional[int] = None,
-                         with_angvel: bool = False) -> PlaneBins:
+                         with_angvel: bool = False,
+                         packed_bin: bool = False) -> PlaneBins:
     """Bin into the full grid, or — given ``x_start`` (traced shard slab
     origin plane) and ``n_loc`` — into this shard's x-slab; particles
     outside the slab are invalid (the owner-shard mask of the sparse
@@ -122,15 +159,9 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
         cols.append(pf.angvel)
     dat = jnp.concatenate(cols, axis=-1)[order]            # (N, C) sorted
     dat = jnp.where(keep[:, None], dat, 0.0)
-    # one-hot rank placement, channel-major columns (c*cap + k) so the
-    # post-scatter transpose is a pure reshape to (C, cap, ncells)
     oh = (rank[:, None] == jnp.arange(cap)[None, :]).astype(dat.dtype)
-    vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, C * cap)
-    rows = jnp.where(keep, cell_sorted, ncells)
-    tbl = jnp.zeros((ncells + 1, C * cap), dat.dtype).at[rows].add(
-        vals, indices_are_sorted=True
-    )
-    D = tbl[:ncells].T.reshape(C, cap, ncells)
+    D = _staging_scatter(dat, oh, cell_sorted, keep, C, cap, ncells, nz,
+                         packed=packed_bin)
 
     n_overflow = jnp.sum(((rank >= cap) & (cell_sorted < ncells)).astype(jnp.int32))
     return PlaneBins(D, order, inv_order, cell_sorted, rank, keep, n_overflow)
@@ -649,7 +680,8 @@ def gaussian_coupling_planes(
     ncells = grid.ncells
     Vc = grid.cell_volume
 
-    bins = bin_particles_planes(pf, grid, cap, with_angvel=cfg.use_torque)
+    bins = bin_particles_planes(pf, grid, cap, with_angvel=cfg.use_torque,
+                                packed_bin=cfg.packed_bin)
 
     in_fields = [fluid_u, grad_p, div_tau]
     if cfg.use_torque:
@@ -828,14 +860,11 @@ def gaussian_coupling_planes_chunked(
         cell_loc = cell_w - x0 * (ny * nz)
         keep = in_chunk & (rank_w < cap) & (cell_w < ncells)
 
-        # staging scatter into the slab table
+        # staging scatter into the slab table (packed layout)
         dat_m = jnp.where(keep[:, None], dat_w, 0.0)
         oh = (rank_w[:, None] == oh_k[None, :]).astype(dat_m.dtype)
-        vals = (dat_m[:, :, None] * oh[:, None, :]).reshape(N_w, C_d * cap)
-        rows = jnp.where(keep, cell_loc, ncl)
-        tbl = jnp.zeros((ncl + 1, C_d * cap), dat_m.dtype).at[rows].add(
-            vals, indices_are_sorted=True)
-        D = tbl[:ncl].T.reshape(C_d, cap, ncl)
+        D = _staging_scatter(dat_m, oh, cell_loc, keep, C_d, cap, ncl, nz,
+                             packed=cfg.packed_bin)
 
         # slab fluid stack: padded-global plane x0 is global plane x0-1
         Fp_c = jax.lax.dynamic_slice(
