@@ -33,7 +33,8 @@ def main():
     grid = Grid.cube(nx, length)
 
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
-                 pre=2, post=2, levels=0, coarse=20, K=0, shear=False):
+                 pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
+                 sampled=False, refined=0, sfetch=False):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -50,6 +51,7 @@ def main():
                 neighbor="cells", cell_capacity=4, max_neighbors=8,
                 list_reuse=reuse, list_margin_factor=margin,
                 list_rebuild_steps=K, shear_history=shear,
+                refined_neighbors=refined, sorted_fetch=sfetch,
             ),
             pimple=PIMPLEConfig(
                 n_outer=1, n_correctors=1, p_extrapolate=extrap,
@@ -62,6 +64,7 @@ def main():
             turbulence=TurbulenceConfig(model="kEqn"),
             gravity_fluid=(0.0, 0.0, -9.81),
             n_dem_substeps=4, r_max=radius,
+            sampled_diagnostics=sampled,
         )
 
     rng = np.random.RandomState(0)
@@ -134,6 +137,27 @@ def main():
         # the tracked scale
         measure("S K=5 shear_history=True", make_cfg(True, True, K=5,
                                                      shear=True))
+    if sel is None or any(s in "V colbin" for s in sel):
+        cfgv = make_cfg(True, True, pre=3, post=3, K=5)
+        cfgv = dataclasses.replace(
+            cfgv, coupling=dataclasses.replace(cfgv.coupling,
+                                               packed_bin="col"))
+        measure("V K=5 mg33 col-bin", cfgv)
+    if sel is None or any(s in "R refined" for s in sel):
+        # distance-refined candidate list: every per-substep force gather
+        # shrinks from M=8 to 4 rows/particle (DEMConfig.refined_neighbors)
+        measure("R K=5 mg33 refined=4", make_cfg(True, True, pre=3, post=3,
+                                                 K=5, refined=4))
+    if sel is None or any(s in "W sorted-fetch" for s in sel):
+        measure("W K=5 mg33 refined=4 sorted-fetch",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True))
+    if sel is None or any(s in "T sampled-diag" for s in sel):
+        # vs case L (same solver settings, full diag): the cost of the
+        # per-step grid-wide diagnostic reductions
+        measure("T K=5 mg33 sampled-diag", make_cfg(True, True, pre=3,
+                                                    post=3, K=5,
+                                                    sampled=True))
 
 
 if __name__ == "__main__":

@@ -122,10 +122,38 @@ def main():
             return jnp.sum(p)
         return jax.jit(go)
 
-    timeit("staging v0 (ncells,32)", stage_v0)
-    timeit("staging z4 (ncells/4,128)", stage_z4)
-    timeit("unbin v0 (ncells,16)", unbin_v0)
-    timeit("unbin z4 (ncells/4,64)", unbin_pack)
+    # --- staging colscatter: (C*cap, ncells+1) column scatter, no .T ---
+    def stage_col(n):
+        def go():
+            def body(d, _):
+                vals = (d[:, :, None] * oh[:, None, :]).reshape(N, C * cap)
+                rows = jnp.where(keep, cell_sorted, ncells)
+                tbl = jnp.zeros((C * cap, ncells + 1), jnp.float32).at[
+                    :, rows].add(vals.T, indices_are_sorted=True)
+                D = tbl[:, :ncells].reshape(C, cap, ncells)
+                return d + jnp.sum(D) * 1e-30, None
+            d, _ = jax.lax.scan(body, dat, None, length=n)
+            return jnp.sum(d)
+        return jax.jit(go)
+
+    import sys
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    def sel(name):
+        return only is None or any(s in name for s in only)
+
+    if sel("staging v0"):
+        timeit("staging v0 (ncells,32)", stage_v0)
+    if sel("staging z4"):
+        timeit("staging z4 (ncells/4,128)", stage_z4)
+    if sel("staging col"):
+        timeit("staging col (32,ncells) no-T", stage_col)
+    if sel("unbin v0"):
+        timeit("unbin v0 (ncells,16)", unbin_v0)
+    if sel("unbin z4"):
+        timeit("unbin z4 (ncells/4,64)", unbin_pack)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,18 @@ def test_planes_matches_sparse(periodic):
                                np.asarray(sparse.force), rtol=2e-4, atol=1e-12)
 
 
+@pytest.mark.parametrize("layout", [True, "col"])
+def test_bin_staging_layouts_match(layout):
+    """z4-packed and column-scatter staging produce the identical
+    channel-major slot planes as the row layout (CouplingConfig.packed_bin)."""
+    grid = Grid.cube(8, 0.008)
+    pf = _particles(grid, 60, pad=4)
+    row = cpp.bin_particles_planes(pf, grid, cap=4)
+    alt = cpp.bin_particles_planes(pf, grid, cap=4, packed_bin=layout)
+    np.testing.assert_array_equal(np.asarray(row.D), np.asarray(alt.D))
+    np.testing.assert_array_equal(np.asarray(row.keep), np.asarray(alt.keep))
+
+
 def test_planes_overflow_counted():
     grid = Grid.cube(8, 0.008)
     cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,

@@ -14,8 +14,10 @@ def _params():
 
 
 @pytest.mark.parametrize("periodic", [(False,) * 3, (True, True, True)])
-@pytest.mark.parametrize("dense_rolls", [False, True])
-def test_neighbor_list_forces_match_allpairs(periodic, dense_rolls):
+@pytest.mark.parametrize("dense_rolls,sorted_fetch",
+                         [(False, False), (True, False), (True, True)])
+def test_neighbor_list_forces_match_allpairs(periodic, dense_rolls,
+                                             sorted_fetch):
     rng = np.random.RandomState(7)
     N = 80
     grid = Grid.cube(16, 1.0)
@@ -30,7 +32,7 @@ def test_neighbor_list_forces_match_allpairs(periodic, dense_rolls):
         params=_params(), neighbor="cells", cell_capacity=32,
         max_neighbors=32, periodic=periodic,
         wall_axes=tuple(not p for p in periodic),
-        dense_rolls=dense_rolls,
+        dense_rolls=dense_rolls, sorted_fetch=sorted_fetch,
     )
     nbr = dem.build_neighbor_list(pos, act, grid, cfg, r)
     f_n, t_n = dem.neighbor_contact_forces(nbr, pos, vel, ang, rad, act, grid, cfg)
@@ -41,6 +43,48 @@ def test_neighbor_list_forces_match_allpairs(periodic, dense_rolls):
     f_a, t_a = dem.allpairs_contact_forces(pos, vel, ang, rad, act, grid, cfg_a)
     np.testing.assert_allclose(np.asarray(f_n), np.asarray(f_a), atol=1e-4)
     np.testing.assert_allclose(np.asarray(t_n), np.asarray(t_a), atol=1e-4)
+
+
+def test_refined_neighbors_forces_match():
+    """refined_neighbors (distance-refined compaction, DEMConfig docs):
+    identical forces to the full list when nothing overflows, and overflow
+    counts only in-cutoff drops."""
+    rng = np.random.RandomState(3)
+    N = 80
+    grid = Grid.cube(16, 1.0)
+    r = 0.025
+    pos = jnp.asarray(rng.uniform(0.05, 0.95, (N, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    ang = jnp.asarray(rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    rad = jnp.full((N,), r, jnp.float32)
+    act = jnp.ones((N,), bool)
+
+    base = dict(params=_params(), neighbor="cells", cell_capacity=32,
+                max_neighbors=32, wall_axes=(True,) * 3)
+    cfg_full = dem.DEMConfig(**base)
+    cfg_ref = dem.DEMConfig(**base, refined_neighbors=8)
+
+    nbr_f, ov_f = dem.build_neighbor_list(pos, act, grid, cfg_full, r,
+                                          return_overflow=True)
+    nbr_r, ov_r = dem.build_neighbor_list(pos, act, grid, cfg_ref, r,
+                                          return_overflow=True)
+    assert nbr_r.shape == (N, 8)
+    assert int(ov_f) == 0 and int(ov_r) == 0
+    f_f, t_f = dem.neighbor_contact_forces(nbr_f, pos, vel, ang, rad, act,
+                                           grid, cfg_full)
+    f_r, t_r = dem.neighbor_contact_forces(nbr_r, pos, vel, ang, rad, act,
+                                           grid, cfg_ref)
+    np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_r), np.asarray(t_f), atol=1e-5)
+
+    # force an in-cutoff overflow: a tight cluster bigger than the cap
+    cl = jnp.asarray(0.5 + 0.012 * rng.normal(size=(12, 3)), jnp.float32)
+    pos2 = jnp.concatenate([cl, pos[12:]])
+    cfg_tiny = dem.DEMConfig(**{**base, "max_neighbors": 16},
+                             refined_neighbors=2)
+    _, ov = dem.build_neighbor_list(pos2, act, grid, cfg_tiny, r,
+                                    return_overflow=True)
+    assert int(ov) > 0
 
 
 def test_neighbor_list_self_excluded_and_padded():
@@ -203,7 +247,7 @@ def test_chunked_scan_rebuild_matches_per_step():
     grid = Grid.cube(16, 16e-3)
     r = 4e-4
 
-    def build(reuse, K):
+    def build(reuse, K, sampled=False):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(),
@@ -219,6 +263,7 @@ def test_chunked_scan_rebuild_matches_per_step():
                 list_reuse=reuse, list_rebuild_steps=K,
             ),
             n_dem_substeps=2, r_max=r,
+            sampled_diagnostics=sampled,
         )
 
     # non-overlapping jittered lattice: random placement overlaps at this
@@ -229,8 +274,13 @@ def test_chunked_scan_rebuild_matches_per_step():
     pos0 = g5 + rng.uniform(-2e-4, 2e-4, g5.shape)
 
     results = {}
-    for key, (reuse, K) in {"norm": (False, 0), "chunk": (True, 3)}.items():
-        cfg = build(reuse, K)
+    all_diags = {}
+    for key, (reuse, K, sampled) in {
+        "norm": (False, 0, False),
+        "chunk": (True, 3, False),
+        "sampled": (True, 3, True),   # CaseConfig.sampled_diagnostics
+    }.items():
+        cfg = build(reuse, K, sampled)
         state = cd.initialize_state(
             make_fluid_state(grid),
             make_particle_state(pos=pos0, radius=r),
@@ -240,10 +290,21 @@ def test_chunked_scan_rebuild_matches_per_step():
         state, diags = run(state)
         assert int(np.max(np.asarray(diags.n_contact_overflow))) == 0
         results[key] = state
+        all_diags[key] = diags
 
-    np.testing.assert_allclose(np.asarray(results["chunk"].particles.pos),
-                               np.asarray(results["norm"].particles.pos),
-                               rtol=1e-5, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(results["chunk"].fluid.p),
-                               np.asarray(results["norm"].fluid.p),
-                               rtol=1e-4, atol=1e-7)
+    for key in ("chunk", "sampled"):
+        np.testing.assert_allclose(np.asarray(results[key].particles.pos),
+                                   np.asarray(results["norm"].particles.pos),
+                                   rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(results[key].fluid.p),
+                                   np.asarray(results["norm"].fluid.p),
+                                   rtol=1e-4, atol=1e-7)
+
+    # sampled diagnostics: lite steps report 0 for the grid-wide
+    # reductions; chunk-final steps (indices 2, 5) and the size-1
+    # remainder chunk (index 6) report the real values
+    cont = np.asarray(all_diags["sampled"].cont_err_local)
+    cont_full = np.asarray(all_diags["chunk"].cont_err_local)
+    assert np.all(cont[[0, 1, 3, 4]] == 0.0)
+    np.testing.assert_allclose(cont[[2, 5, 6]], cont_full[[2, 5, 6]],
+                               rtol=1e-3, atol=1e-12)

@@ -108,11 +108,14 @@ class CouplingConfig:
     # round-trips, the XLA physics pass, and the second exp pass. False
     # keeps the two-kernel pipeline (equivalence-tested against it).
     fused_planes: bool = True
-    # planes mode: z-packed staging scatter (ncells/zp x 128 — no lane-pad
-    # waste). Isolated 12.9 -> 2.2 ms, but REGRESSED the full step 13.4 ->
-    # 11.0 steps/s in context (relayout feeding the kernel); default off
-    # until the in-context interaction is understood (micro_pack.py).
-    packed_bin: bool = False
+    # planes mode staging-scatter layout. False = row layout
+    # ((ncells+1, C*cap) scatter + transpose). True = z-packed
+    # ((ncells/zp, 128) — no lane-pad waste; isolated 12.9 -> 2.2 ms but
+    # REGRESSED the full step 13.4 -> 11.0 steps/s in context, relayout
+    # feeding the kernel). "col" = column scatter ((C*cap, ncells+1)
+    # .at[:, rows] — no transpose, 4x less table traffic; isolated
+    # 13.0 -> 10.0 ms, micro_pack.py).
+    packed_bin: object = False
     # planes mode: process the exchange in this many x-slab chunks
     # (`coupling_planes.gaussian_coupling_planes_chunked`). 1 = monolithic.
     # At 256^3 the staging/unbin tables lane-pad to ~8.6 GB; 8 chunks

@@ -117,6 +117,24 @@ class DEMConfig:
     # (N, M, 11) candidate-data transient is lane-padded ~12x, so bound it
     # at large N. 1 = unchunked.
     force_chunks: int = 1
+    # Fetch candidate rows in bin-sorted particle order (sequential walk
+    # of the (nbin, cap*27) table instead of random rows; the result is
+    # un-sorted with one cheap N-row gather). Only affects the dense-roll
+    # path with force_chunks=1.
+    sorted_fetch: bool = False
+    # Distance-refined candidate compaction (0 = off). After the
+    # bin-neighborhood top_k, gather the M candidates' positions once and
+    # keep only pairs within reach before the NEXT rebuild: cutoff =
+    # 2*r_max + 2*margin, margin = list_margin_factor*(bin_size-2*r_max)
+    # — the same Verlet-skin bound that schedules rebuilds (two particles
+    # each drifting < margin close their gap by < 2*margin, so an
+    # out-of-cutoff pair provably cannot touch while the list is live).
+    # The surviving pairs compact to `refined_neighbors` rows, shrinking
+    # every per-substep force gather (N*M rows) and the shear-history
+    # carry; in-cutoff candidates dropped beyond the cap count as overflow
+    # (same honesty contract as max_neighbors). Requires
+    # list_margin_factor > 0.
+    refined_neighbors: int = 0
     # walls: per axis, whether the domain box faces are solid walls
     wall_axes: tuple[bool, bool, bool] = (True, True, True)
     periodic: tuple[bool, bool, bool] = (False, False, False)
@@ -632,7 +650,22 @@ def build_neighbor_list(
     if use_dense:
         nb_bin = jnp.zeros((N, 27), jnp.int32)            # unused placeholder
     k = cfg.force_chunks
-    if k <= 1:
+    if use_dense and cfg.sorted_fetch and k <= 1:
+        # walk the candidate table in bin-sorted order (sequential rows),
+        # then invert the sort on the compact (N, M) result
+        act_s = active[order]
+        self_s = order.astype(jnp.int32)[:, None]
+        cand_s = jnp.take(cand_rows, jnp.minimum(bin_sorted, nbin - 1),
+                          axis=0, indices_are_sorted=True)
+        valid = (cand_s != N) & (cand_s != self_s) & act_s[:, None]
+        HIGH = jnp.int32(1 << 21)
+        key = jnp.where(valid, cand_s + HIGH, 0)
+        topk, _ = jax.lax.top_k(key, M)
+        trunc = jnp.sum(jnp.maximum(
+            jnp.sum(valid.astype(jnp.int32), axis=1) - M, 0))
+        nbr_s = jnp.where(topk >= HIGH, topk - HIGH, N)
+        nbr = nbr_s[jnp.argsort(order)]
+    elif k <= 1:
         nbr, trunc = compact_block((bin_of, nb_bin, active, self_idx))
     else:
         assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
@@ -646,6 +679,26 @@ def build_neighbor_list(
         )
         nbr = nbr.reshape(N, M)
         trunc = jnp.sum(trunc)
+
+    if cfg.refined_neighbors > 0 and cfg.refined_neighbors < M:
+        assert cfg.list_margin_factor > 0, (
+            "refined_neighbors needs the Verlet-skin margin to bound the "
+            "reach of surviving pairs")
+        margin = cfg.list_margin_factor * (bin_size - 2.0 * r_max)
+        cutoff = 2.0 * r_max + 2.0 * margin
+        Mr = cfg.refined_neighbors
+        posx = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
+        dxp = pos[:, None, :] - posx[nbr]                  # (N, M, 3)
+        dxp = _min_image(dxp, grid, cfg.periodic)
+        d2 = jnp.sum(dxp * dxp, axis=-1)
+        within = (nbr != N) & (d2 <= cutoff * cutoff)
+        HIGH = jnp.int32(1 << 21)
+        key = jnp.where(within, nbr + HIGH, 0)
+        topk, _ = jax.lax.top_k(key, Mr)
+        trunc = trunc + jnp.sum(jnp.maximum(
+            jnp.sum(within.astype(jnp.int32), axis=1) - Mr, 0))
+        nbr = jnp.where(topk >= HIGH, topk - HIGH, N)
+
     if return_overflow:
         return nbr, n_bin_drop + trunc
     return nbr
