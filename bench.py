@@ -59,9 +59,12 @@ def main():
         # exchange='planes': channel-major slot planes + fused Pallas
         # interp/deposit kernels (measured 39 vs 63 ms for the sparse row
         # path at this config; equivalence-tested in tests/test_coupling_planes.py)
+        # packed_bin='col': column-scatter staging, 63.4 -> 62.2 ms
+        # in-context (abl V)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4),
+                                   exchange="planes", slot_capacity=4,
+                                   packed_bin="col"),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
@@ -73,6 +76,13 @@ def main():
             # and neighbor count keep the gather row counts minimal
             cell_capacity=4,
             max_neighbors=8,
+            # distance-refined compaction: per-substep force gathers run
+            # over 4 candidate rows instead of 8 (63.4 -> 60.3 ms/step,
+            # abl R); in-cutoff drops would assert below via the overflow
+            # counter
+            refined_neighbors=4,
+            # bin-sorted candidate-table walk at rebuild (abl W)
+            sorted_fetch=True,
             # persistent Verlet list with statically-scheduled rebuild:
             # one unconditional build per 5-step scan chunk (no lax.cond —
             # 15.6 ms/step of conditional overhead on v5e, abl_r3.py);

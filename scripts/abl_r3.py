@@ -34,7 +34,8 @@ def main():
 
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
-                 sampled=False, refined=0, sfetch=False):
+                 sampled=False, refined=0, sfetch=False, carry=False,
+                 pbin=""):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -43,7 +44,7 @@ def main():
             coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                        stencil_shape="sphere2",
                                        exchange="planes", slot_capacity=4,
-                                       fused_planes=fused),
+                                       fused_planes=fused, packed_bin=pbin),
             dem=dem.DEMConfig(
                 params=dem.ContactParams(kn=100.0, rho_p=2500.0),
                 gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -52,6 +53,7 @@ def main():
                 list_reuse=reuse, list_margin_factor=margin,
                 list_rebuild_steps=K, shear_history=shear,
                 refined_neighbors=refined, sorted_fetch=sfetch,
+                carry_contact=carry,
             ),
             pimple=PIMPLEConfig(
                 n_outer=1, n_correctors=1, p_extrapolate=extrap,
@@ -152,6 +154,23 @@ def main():
         measure("W K=5 mg33 refined=4 sorted-fetch",
                 make_cfg(True, True, pre=3, post=3, K=5, refined=4,
                          sfetch=True))
+    if sel is None or any(s in "X mg44" for s in sel):
+        measure("X K=5 mg44 refined=4", make_cfg(True, True, pre=4, post=4,
+                                                 K=5, refined=4))
+    if sel is None or any(s in "Y K10" for s in sel):
+        measure("Y K=10 mg33 refined=4", make_cfg(True, True, pre=3, post=3,
+                                                  K=10, refined=4))
+    if sel is None or any(s in "Z carry" for s in sel):
+        # DEMConfig.carry_contact: skip one contact evaluation per step by
+        # re-composing a0 from the carried last-substep force
+        measure("Z bench-combo + carry_contact",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col", carry=True))
+    if sel is None or any(s in "Q bench-combo" for s in sel):
+        # exactly the tracked bench.py configuration
+        measure("Q bench-combo (refined+sfetch+col)",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col"))
     if sel is None or any(s in "T sampled-diag" for s in sel):
         # vs case L (same solver settings, full diag): the cost of the
         # per-step grid-wide diagnostic reductions

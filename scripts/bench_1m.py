@@ -57,11 +57,16 @@ def main():
             periodic=(True, True, False), wall_axes=(False, False, True),
             neighbor="cells", cell_capacity=4, max_neighbors=8,
             force_chunks=8, list_reuse=True,
+            # round-3 wins, measured at the tracked config (PERF.md):
+            # statically-scheduled rebuild (no per-step lax.cond) +
+            # distance-refined candidate rows
+            list_rebuild_steps=5, refined_neighbors=4,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
-            pressure=pr.PressureSolverConfig(solver="mgpcg", tol=1e-5,
-                                             maxiter=40),
+            pressure=pr.PressureSolverConfig(
+                solver="mgpcg", tol=1e-5, maxiter=40,
+                mg=pr.MGConfig(pre_smooth=3, post_smooth=3)),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),
         gravity_fluid=(0.0, 0.0, -9.81),

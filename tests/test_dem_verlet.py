@@ -308,3 +308,68 @@ def test_chunked_scan_rebuild_matches_per_step():
     assert np.all(cont[[0, 1, 3, 4]] == 0.0)
     np.testing.assert_allclose(cont[[2, 5, 6]], cont_full[[2, 5, 6]],
                                rtol=1e-3, atol=1e-12)
+
+
+def test_carry_contact_matches_uncarried():
+    """DEMConfig.carry_contact: re-composing the first substep acceleration
+    from the previous step's carried contact force gives the same coupled
+    trajectories as re-evaluating it (the carried evaluation was at exactly
+    the current state, under the same Verlet-superset contract)."""
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    from yade_openfoam_coupling_tpu.models.piso import FluidBCs
+    from yade_openfoam_coupling_tpu.ops import coupling as cp
+
+    rng = np.random.RandomState(11)
+    N = 100
+    grid = Grid.cube(16, 16e-3)
+    r = 4e-4
+
+    def build(carry, K=3):
+        return cd.CaseConfig(
+            grid=grid, bcs=FluidBCs.channel_z(),
+            transport=cd.TransportProperties(),
+            solver="pimple",
+            coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                       stencil_shape="sphere2",
+                                       exchange="planes", slot_capacity=8),
+            dem=dem.DEMConfig(
+                params=dem.ContactParams(kn=100.0, rho_p=2500.0),
+                gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
+                periodic=(True, True, False), wall_axes=(False, False, True),
+                neighbor="cells", cell_capacity=12, max_neighbors=24,
+                list_reuse=True, list_rebuild_steps=K,
+                carry_contact=carry,
+            ),
+            n_dem_substeps=2, r_max=r,
+        )
+
+    g5 = np.stack(np.meshgrid(*[np.linspace(0.25, 0.75, 5) * 16e-3] * 3,
+                              indexing="ij"), -1).reshape(-1, 3)[:N]
+    pos0 = g5 + rng.uniform(-2e-4, 2e-4, g5.shape)
+
+    results = {}
+    for carry in (False, True):
+        cfg = build(carry)
+        state = cd.initialize_state(
+            make_fluid_state(grid),
+            make_particle_state(pos=pos0, radius=r),
+            make_turbulence_state(grid, k0=1e-6),
+            cfg, dt=5e-5)
+        assert (state.particles.contact_f is not None) == carry
+        run = cd.make_scan_fn(cfg, 7)
+        state, diags = run(state)
+        assert int(np.max(np.asarray(diags.n_contact_overflow))) == 0
+        results[carry] = state
+
+    np.testing.assert_allclose(np.asarray(results[True].particles.pos),
+                               np.asarray(results[False].particles.pos),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(results[True].particles.vel),
+                               np.asarray(results[False].particles.vel),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(results[True].fluid.p),
+                               np.asarray(results[False].fluid.p),
+                               rtol=1e-4, atol=1e-7)

@@ -188,6 +188,16 @@ def initialize_state(
             particles.pos, particles.active, cfg.grid, cfg.dem, cfg.r_max
         )
         particles = particles._replace(nbr=nbr, nbr_ref_pos=particles.pos)
+    if cfg.dem.carry_contact and particles.contact_f is None:
+        # seed the carried contact force with one exact evaluation so the
+        # scan carry structure is static and the first step is bit-equal
+        # to the uncarried path (DEMConfig.carry_contact)
+        assert cfg.dem.contact_mode == "substep" and not cfg.dem.shear_history
+        fc0, tc0 = demod.contact_forces(
+            particles.pos, particles.vel, particles.angvel, particles.radius,
+            particles.active, cfg.grid, cfg.dem, cfg.r_max,
+            nbr=particles.nbr)
+        particles = particles._replace(contact_f=fc0, contact_t=tc0)
     cres = exchange(fluid, particles, cfg.grid, cfg.bcs, cfg.transport,
                     cfg.coupling, dt_arr)
     fluid = fluid._replace(
@@ -331,6 +341,15 @@ def coupled_step(
             )
             ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                              shear_wall=sh.xi_wall)
+        elif cfg.dem.carry_contact and cfg.dem.contact_mode == "substep":
+            carried = (None if ps.contact_f is None
+                       else (ps.contact_f, ps.contact_t))
+            pos, vel, angvel, n_overflow, fc, tc = demod.dem_substeps(
+                ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
+                hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
+                nbr=nbr, carried=carried,
+            )
+            ps = ps._replace(contact_f=fc, contact_t=tc)
         else:
             pos, vel, angvel, n_overflow = demod.dem_substeps(
                 ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,

@@ -82,6 +82,11 @@ class ParticleState(NamedTuple):
     # build time (the displacement reference of the skin criterion)
     nbr: Optional[jnp.ndarray] = None         # (N, M) int32
     nbr_ref_pos: Optional[jnp.ndarray] = None # (N, 3)
+    # carried contact force/torque of the last DEM substep evaluation
+    # (DEMConfig.carry_contact; None when disabled) — re-composes the
+    # next step's initial Verlet acceleration without a force evaluation
+    contact_f: Optional[jnp.ndarray] = None   # (N, 3)
+    contact_t: Optional[jnp.ndarray] = None   # (N, 3)
 
     @property
     def n_capacity(self) -> int:

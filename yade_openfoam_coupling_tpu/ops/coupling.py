@@ -122,6 +122,12 @@ class CouplingConfig:
     # bound every transient at ~1.1 GB so the 1M north-star config runs
     # the flagship pipeline single-chip (round-3 item; PERF.md).
     planes_chunks: int = 1
+    # planes mode: apply the deposit's dy shifts INSIDE the kernel (sublane
+    # rolls of the (ny, nz) contribution, like the dz lane rolls) so only 3
+    # per-dx output stacks leave VMEM instead of 9 per-(dx, dy) stacks —
+    # ~800 MB/step less stack write+read traffic at 128^3. Epilogues are
+    # unchanged (combos arrive as (dx, 0)).
+    dy_in_kernel: bool = False
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4

@@ -355,8 +355,29 @@ def interp_planes(
 # Kernel B: slot deposit (scatter side)
 # ---------------------------------------------------------------------------
 
+def _combo_of(o, dy_in_kernel):
+    """Output-stack key of one offset: (dx, dy), or (dx, 0) when the dy
+    shift is applied in-kernel (CouplingConfig.dy_in_kernel)."""
+    return (int(o[0]), 0 if dy_in_kernel else int(o[1]))
+
+
+def _roll_contrib(contrib, o, dy_in_kernel):
+    """In-kernel shifts of one (ny, nz) deposit contribution: dz always
+    (lane roll), dy too under dy_in_kernel (sublane roll)."""
+    dy = int(o[1]) if dy_in_kernel else 0
+    dz = int(o[2])
+    if dy and dz:
+        return jnp.roll(contrib, (dy, dz), axis=(0, 1))
+    if dz:
+        return jnp.roll(contrib, dz, axis=-1)
+    if dy:
+        return jnp.roll(contrib, dy, axis=0)
+    return contrib
+
+
 def _deposit_kernel(xoff_ref, pos_ref, v_ref, out_ref, *, grid: Grid,
-                    periodic, offsets, combos, cap, C_out):
+                    periodic, offsets, combos, cap, C_out,
+                    dy_in_kernel=False):
     # xoff_ref: (1,) int32 slab offset; pos_ref: (4, cap, 1, ny, nz);
     # v_ref: (C_out, cap, 1, ny, nz) — v is PRE-normalized (V * inv_norm,
     # computed in XLA from kernel A's norm), so a single raw-weight pass
@@ -369,12 +390,10 @@ def _deposit_kernel(xoff_ref, pos_ref, v_ref, out_ref, *, grid: Grid,
     acc = {}
     for w, o in _iter_weights_plane(pos, i, grid, periodic, offsets,
                                     ny, nz, dtype, x_off=xoff_ref[0]):
-        combo = (int(o[0]), int(o[1]))
-        dz = int(o[2])
+        combo = _combo_of(o, dy_in_kernel)
         for c in range(C_out):
             contrib = jnp.sum(w * v_ref[c, :, 0], axis=0)       # (ny, nz)
-            if dz:
-                contrib = jnp.roll(contrib, dz, axis=-1)
+            contrib = _roll_contrib(contrib, o, dy_in_kernel)
             key = (combo, c)
             acc[key] = contrib if key not in acc else acc[key] + contrib
     for ci, combo in enumerate(combos):
@@ -399,7 +418,7 @@ def deposit_stacks(
     ny, nz = grid.shape[1], grid.shape[2]
     cap = cfg.slot_capacity
     offsets = cp.stencil_offsets(cfg)
-    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
+    combos = sorted({_combo_of(o, cfg.dy_in_kernel) for o in offsets})
     n_combo = len(combos)
 
     posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nxl, ny, nz)
@@ -407,7 +426,8 @@ def deposit_stacks(
     xoff_arr = jnp.asarray([x_off], jnp.int32)
 
     kernel = partial(_deposit_kernel, grid=grid, periodic=periodic,
-                     offsets=offsets, combos=combos, cap=cap, C_out=C_out)
+                     offsets=offsets, combos=combos, cap=cap, C_out=C_out,
+                     dy_in_kernel=cfg.dy_in_kernel)
     smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
             else {})
     stks = pl.pallas_call(
@@ -505,11 +525,10 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
     for o in offsets:
         dx, dy, dz = (int(v) for v in o)
         w = fxd[dx] * fyd[dy] * fzd[dz]
-        combo = (dx, dy)
+        combo = _combo_of(o, cfg.dy_in_kernel)
         for c in range(Vn.shape[0]):
             contrib = jnp.sum(w * Vn[c], axis=0)           # (ny, nz)
-            if dz:
-                contrib = jnp.roll(contrib, dz, axis=-1)
+            contrib = _roll_contrib(contrib, o, cfg.dy_in_kernel)
             key = (combo, c)
             accd[key] = contrib if key not in accd else accd[key] + contrib
     for ci, combo in enumerate(combos):
@@ -544,7 +563,7 @@ def fused_exchange_padded(
     nxl, ny, nz = Fp.shape[1] - 2, Fp.shape[2] - 2, Fp.shape[3] - 2
     cap = cfg.slot_capacity
     offsets = cp.stencil_offsets(cfg)
-    combos = sorted({(int(o[0]), int(o[1])) for o in offsets})
+    combos = sorted({_combo_of(o, cfg.dy_in_kernel) for o in offsets})
     n_combo = len(combos)
     C_out = 8
     C_d = D.shape[0]

@@ -117,6 +117,17 @@ class DEMConfig:
     # (N, M, 11) candidate-data transient is lane-padded ~12x, so bound it
     # at large N. 1 = unchunked.
     force_chunks: int = 1
+    # Carry the CONTACT force/torque across fluid steps: velocity Verlet
+    # needs the acceleration at the start of each substep run, and the
+    # previous step's LAST evaluation was at exactly the current
+    # (pos, vel, angvel) — only the (held-constant) hydro force changed.
+    # Re-composing a0 from the carried contact force skips one of the
+    # n_sub+1 force evaluations per fluid step (~1.8 ms at the 100k
+    # benchmark). Exact while the carried list is a valid superset (the
+    # same Verlet-skin contract as list_reuse). substep contact_mode,
+    # non-shear path only; `coupled_step` threads
+    # `ParticleState.contact_f/contact_t`.
+    carry_contact: bool = False
     # Fetch candidate rows in bin-sorted particle order (sequential walk
     # of the (nbin, cap*27) table instead of random rows; the result is
     # un-sorted with one cheap N-row gather). Only affects the dense-roll
@@ -625,8 +636,34 @@ def build_neighbor_list(
             nb_bin = nb_bin + jnp.mod(ijk[:, a:a + 1] + off_a[None], nvec[a]) * strides[a]
         nb_bin = jnp.where(active[:, None], nb_bin, nbin)
 
+    do_refine = 0 < cfg.refined_neighbors < M
+    if do_refine:
+        assert cfg.list_margin_factor > 0, (
+            "refined_neighbors needs the Verlet-skin margin to bound the "
+            "reach of surviving pairs")
+        posx = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
+
+    def refine_block(nbr_b, pos_b):
+        """Distance-refined compaction (DEMConfig.refined_neighbors): keep
+        only candidates reachable before the next rebuild. Runs per block
+        so the (n, M, 3) gather transient stays bounded under
+        force_chunks."""
+        margin = cfg.list_margin_factor * (bin_size - 2.0 * r_max)
+        cutoff = 2.0 * r_max + 2.0 * margin
+        Mr = cfg.refined_neighbors
+        dxp = pos_b[:, None, :] - posx[nbr_b]              # (n, M, 3)
+        dxp = _min_image(dxp, grid, cfg.periodic)
+        d2 = jnp.sum(dxp * dxp, axis=-1)
+        within = (nbr_b != N) & (d2 <= cutoff * cutoff)
+        HIGH = jnp.int32(1 << 21)
+        key = jnp.where(within, nbr_b + HIGH, 0)
+        topk, _ = jax.lax.top_k(key, Mr)
+        extra = jnp.sum(jnp.maximum(
+            jnp.sum(within.astype(jnp.int32), axis=1) - Mr, 0))
+        return jnp.where(topk >= HIGH, topk - HIGH, N), extra
+
     def compact_block(args):
-        bin_b, nb_b, act_b, self_b = args                 # (n,), (n,27), (n,), (n,1)
+        bin_b, nb_b, act_b, self_b, pos_b = args     # (n,), (n,27), (n,), (n,1), (n,3)
         if use_dense:
             # ONE row per particle from the (nbin, cap*27) relayout of the
             # transposed table (measured ~1.2 ms cheaper than cap
@@ -644,7 +681,11 @@ def build_neighbor_list(
         trunc = jnp.sum(
             jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - M, 0)
         )
-        return jnp.where(topk >= HIGH, topk - HIGH, N), trunc
+        out = jnp.where(topk >= HIGH, topk - HIGH, N)
+        if do_refine:
+            out, extra = refine_block(out, pos_b)
+            trunc = trunc + extra
+        return out, trunc
 
     self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
     if use_dense:
@@ -664,9 +705,12 @@ def build_neighbor_list(
         trunc = jnp.sum(jnp.maximum(
             jnp.sum(valid.astype(jnp.int32), axis=1) - M, 0))
         nbr_s = jnp.where(topk >= HIGH, topk - HIGH, N)
+        if do_refine:
+            nbr_s, extra = refine_block(nbr_s, pos[order])
+            trunc = trunc + extra
         nbr = nbr_s[jnp.argsort(order)]
     elif k <= 1:
-        nbr, trunc = compact_block((bin_of, nb_bin, active, self_idx))
+        nbr, trunc = compact_block((bin_of, nb_bin, active, self_idx, pos))
     else:
         assert N % k == 0, f"capacity {N} not divisible by force_chunks={k}"
 
@@ -675,29 +719,11 @@ def build_neighbor_list(
 
         nbr, trunc = jax.lax.map(
             compact_block,
-            (chunked(bin_of), chunked(nb_bin), chunked(active), chunked(self_idx)),
+            (chunked(bin_of), chunked(nb_bin), chunked(active),
+             chunked(self_idx), chunked(pos)),
         )
-        nbr = nbr.reshape(N, M)
+        nbr = nbr.reshape(N, nbr.shape[-1])
         trunc = jnp.sum(trunc)
-
-    if cfg.refined_neighbors > 0 and cfg.refined_neighbors < M:
-        assert cfg.list_margin_factor > 0, (
-            "refined_neighbors needs the Verlet-skin margin to bound the "
-            "reach of surviving pairs")
-        margin = cfg.list_margin_factor * (bin_size - 2.0 * r_max)
-        cutoff = 2.0 * r_max + 2.0 * margin
-        Mr = cfg.refined_neighbors
-        posx = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
-        dxp = pos[:, None, :] - posx[nbr]                  # (N, M, 3)
-        dxp = _min_image(dxp, grid, cfg.periodic)
-        d2 = jnp.sum(dxp * dxp, axis=-1)
-        within = (nbr != N) & (d2 <= cutoff * cutoff)
-        HIGH = jnp.int32(1 << 21)
-        key = jnp.where(within, nbr + HIGH, 0)
-        topk, _ = jax.lax.top_k(key, Mr)
-        trunc = trunc + jnp.sum(jnp.maximum(
-            jnp.sum(within.astype(jnp.int32), axis=1) - Mr, 0))
-        nbr = jnp.where(topk >= HIGH, topk - HIGH, N)
 
     if return_overflow:
         return nbr, n_bin_drop + trunc
@@ -887,6 +913,7 @@ def dem_substeps(
     shear: Optional[ShearState] = None,
     pid: Optional[jnp.ndarray] = None,
     nbr: Optional[jnp.ndarray] = None,
+    carried: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
@@ -899,7 +926,11 @@ def dem_substeps(
 
     ``nbr`` supplies a prebuilt (persistent) Verlet candidate list; the
     in-call build is skipped entirely and n_overflow reports 0 (the build
-    step that produced the list accounted for its own drops)."""
+    step that produced the list accounted for its own drops).
+
+    With ``cfg.carry_contact`` the return gains (contact_f, contact_t) —
+    the contact force/torque of the LAST substep evaluation, valid as the
+    ``carried`` input of the next call (see DEMConfig.carry_contact)."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     inertia = particle_inertia(radius, p.rho_p)
@@ -1020,6 +1051,61 @@ def dem_substeps(
             chunk_h, (pos, vel, angvel, shear), None, length=n_chunks
         )
         return pos, vel, angvel, jnp.max(overflows), shear
+
+    carry_c = cfg.carry_contact and cfg.contact_mode == "substep"
+
+    if carry_c:
+        def contact_eval(nbr_c, pos_, vel_, ang_):
+            fc, tc = contact_forces(pos_, vel_, ang_, radius, active, grid,
+                                    cfg, r_max, nbr_c)
+            return fc, tc
+
+        def chunk_c(state, _):
+            pos, vel, angvel, fc, tc = state
+            if nbr is not None:
+                nbr_c, overflow = nbr, jnp.int32(0)
+            elif use_list:
+                nbr_c, overflow = build_neighbor_list(
+                    pos, active, grid, cfg, r_max, return_overflow=True
+                )
+            else:
+                nbr_c, overflow = None, jnp.int32(0)
+            # a0 re-composed from the carried contact force — no eval
+            a0 = damp(fc + f_grav + hydro.force, vel) * inv_m
+            aw0 = damp(tc + hydro.torque, angvel) * inv_I
+
+            def body(st, _):
+                pos, vel, angvel, a, aw, fc, tc = st
+                vel_h = vel + 0.5 * dt_dem * a
+                angvel_h = angvel + 0.5 * dt_dem * aw
+                pos_n = pos + dt_dem * vel_h
+                lo = jnp.asarray(grid.origin, pos.dtype)
+                L = jnp.asarray(grid.lengths, pos.dtype)
+                per = jnp.asarray(cfg.periodic)
+                pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
+                fc2, tc2 = contact_eval(nbr_c, pos_n, vel_h, angvel_h)
+                a2 = damp(fc2 + f_grav + hydro.force, vel_h) * inv_m
+                aw2 = damp(tc2 + hydro.torque, angvel_h) * inv_I
+                vel_n = vel_h + 0.5 * dt_dem * a2
+                angvel_n = angvel_h + 0.5 * dt_dem * aw2
+                return (pos_n, vel_n, angvel_n, a2, aw2, fc2, tc2), None
+
+            (pos, vel, angvel, _, _, fc, tc), _ = jax.lax.scan(
+                body, (pos, vel, angvel, a0, aw0, fc, tc), None, length=every
+            )
+            return (pos, vel, angvel, fc, tc), overflow
+
+        if carried is not None:
+            fc0, tc0 = carried
+        else:
+            nbr0 = nbr
+            if nbr0 is None and use_list:
+                nbr0 = build_neighbor_list(pos, active, grid, cfg, r_max)
+            fc0, tc0 = contact_eval(nbr0, pos, vel, angvel)
+        (pos, vel, angvel, fc, tc), overflows = jax.lax.scan(
+            chunk_c, (pos, vel, angvel, fc0, tc0), None, length=n_chunks
+        )
+        return pos, vel, angvel, jnp.max(overflows), fc, tc
 
     def chunk(state, _):
         pos, vel, angvel = state

@@ -598,6 +598,11 @@ def _make_dem_fn(cfg: cd.CaseConfig, geom):
     pids so ghost reshuffles and migration cannot orphan them."""
     from . import particles as pp
 
+    assert not cfg.dem.carry_contact, (
+        "carry_contact is a single-device optimization: the sharded path "
+        "migrates/permutes particle slots between steps and refreshes "
+        "ghosts per substep, so the carried force would be misaligned "
+        "(and the saved evaluation is re-done by the ghost refresh anyway)")
     if cfg.dem.shear_history:
         def dem_fn(ps, hydro, dt_dem):
             n_loc_cap = ps.pos.shape[0]
