@@ -35,7 +35,7 @@ def main():
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
                  sampled=False, refined=0, sfetch=False, carry=False,
-                 pbin=""):
+                 pbin="", dyk=False, fixed=0, cap=4):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -43,8 +43,9 @@ def main():
             solver="pimple",
             coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                        stencil_shape="sphere2",
-                                       exchange="planes", slot_capacity=4,
-                                       fused_planes=fused, packed_bin=pbin),
+                                       exchange="planes", slot_capacity=cap,
+                                       fused_planes=fused, packed_bin=pbin,
+                                       dy_in_kernel=dyk),
             dem=dem.DEMConfig(
                 params=dem.ContactParams(kn=100.0, rho_p=2500.0),
                 gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -58,7 +59,7 @@ def main():
             pimple=PIMPLEConfig(
                 n_outer=1, n_correctors=1, p_extrapolate=extrap,
                 pressure=pr.PressureSolverConfig(
-                    solver="mgpcg", tol=1e-5, maxiter=40,
+                    solver="mgpcg", tol=1e-5, maxiter=40, fixed_iters=fixed,
                     mg=pr.MGConfig(bf16=bf16, pre_smooth=pre,
                                    post_smooth=post, levels=levels,
                                    coarse_iters=coarse)),
@@ -98,8 +99,9 @@ def main():
         run = cd.make_scan_fn(cfg, k)
         _, diags = run(state)
         iters = np.asarray(diags.p_iters)
-        print(f"{name:44s} {best:9.2f} ms/step   p_iters={iters.tolist()}",
-              flush=True)
+        ovf = int(np.max(np.asarray(diags.n_coupling_overflow)))
+        print(f"{name:44s} {best:9.2f} ms/step   p_iters={iters.tolist()}"
+              f" ovf={ovf}", flush=True)
 
     sel = None
     for a in sys.argv[1:]:
@@ -171,6 +173,49 @@ def main():
         measure("Q bench-combo (refined+sfetch+col)",
                 make_cfg(True, True, pre=3, post=3, K=5, refined=4,
                          sfetch=True, pbin="col"))
+    if sel is None or any(s in "U dyk" for s in sel):
+        # CouplingConfig.dy_in_kernel: 3 per-dx deposit stacks instead of
+        # 9 per-(dx,dy) — ~800 MB/step less stack traffic at 128^3
+        measure("U bench-combo + dy_in_kernel",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col", dyk=True))
+    if sel is None or any(s in "P dyk+carry" for s in sel):
+        measure("P bench-combo + dyk + carry",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col", dyk=True, carry=True))
+    if sel is None or "AL" in (sel or []):
+        # every round-3 candidate at once (leave-one-outs: NF/NC/ND)
+        measure("AL ALL: K10 mg44 carry dyk fixed5 cap3",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         fixed=5, cap=3))
+    if sel is None or "NF" in (sel or []):
+        measure("NF ALL minus fixed_iters",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         cap=3))
+    if sel is None or "NC" in (sel or []):
+        measure("NC ALL minus cap3 (cap=4)",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         fixed=5))
+    if sel is None or "ND" in (sel or []):
+        measure("ND ALL minus dy_in_kernel",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True,
+                         fixed=5, cap=3))
+    if sel is None or "C3" in (sel or []):
+        # slot_capacity 4 -> 3: 25% less D/staging/kernel slot traffic;
+        # ovf must print 0 for the cut to be exact at this density
+        measure("C3 bench-combo + cap=3",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col", cap=3))
+    if sel is None or any(s in "O fixed-iters" for s in sel):
+        # PressureSolverConfig.fixed_iters: static fori_loop CG (no
+        # data-dependent while cond — one lax.cond measured 15.6 ms/step)
+        measure("O bench-combo + fixed_iters=6",
+                make_cfg(True, True, pre=3, post=3, K=5, refined=4,
+                         sfetch=True, pbin="col", fixed=6))
     if sel is None or any(s in "T sampled-diag" for s in sel):
         # vs case L (same solver settings, full diag): the cost of the
         # per-step grid-wide diagnostic reductions

@@ -135,17 +135,19 @@ def test_planes_torque_matches_sparse(fused):
     assert float(jnp.max(jnp.abs(planes.torque))) > 0.0
 
 
+@pytest.mark.parametrize("packed_bin", [False, "col"])
 @pytest.mark.parametrize("periodic", [(True, True, False), (False, False, False)])
-def test_chunked_planes_matches_monolithic(periodic):
+def test_chunked_planes_matches_monolithic(periodic, packed_bin):
     """Slab-chunked exchange (the 256^3 memory-bounding path): identical
     results to the monolithic planes pipeline, including cross-chunk halo
-    deposits and the windowed unbin."""
+    deposits and the windowed unbin. 'col' additionally covers the clipped
+    negative window cells of the column-scatter staging."""
     import dataclasses
     grid = Grid.cube(16, 0.016)
     cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
                             stencil_shape="sphere2",
                             exchange="planes", slot_capacity=6)
-    cfg_c = dataclasses.replace(cfg, planes_chunks=4)
+    cfg_c = dataclasses.replace(cfg, planes_chunks=4, packed_bin=packed_bin)
     pf = _particles(grid, 120, pad=8)
     u, gp, dtau, ddtu, curl = _fields(grid)
     prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97

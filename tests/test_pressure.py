@@ -119,3 +119,36 @@ def test_mg_bf16_preconditioner_converges():
         res = pr.solve_pressure(gamma, rhs, jnp.zeros_like(rhs), grid, bc, cfg)
         assert float(res.residual) <= 1.1 * max(
             1e-5 * float(res.initial_residual), 1e-5 * float(jnp.linalg.norm(rhs)))
+
+
+def test_fixed_iters_matches_while_loop():
+    """PressureSolverConfig.fixed_iters: the static fori_loop variant
+    (state frozen after convergence) returns the same solution and the
+    same live-iteration count as the while_loop when it converges within
+    the budget."""
+    grid, bc, p_exact = _setup(32)
+    gamma = jnp.ones(grid.shape)
+    gamma_f = st.face_interp(gamma, bc, grid)
+    rhs = pr.poisson_apply(p_exact, gamma_f, grid, pr.default_pad(bc))
+
+    cfg_w = pr.PressureSolverConfig(solver="mgpcg", tol=1e-6, maxiter=60)
+    res_w = pr.solve_pressure(gamma_f, rhs, jnp.zeros(grid.shape), grid,
+                              bc, cfg_w)
+    budget = int(res_w.iters) + 3
+    cfg_f = pr.PressureSolverConfig(solver="mgpcg", tol=1e-6, maxiter=60,
+                                    fixed_iters=budget)
+    res_f = pr.solve_pressure(gamma_f, rhs, jnp.zeros(grid.shape), grid,
+                              bc, cfg_f)
+    assert int(res_f.iters) == int(res_w.iters)
+    np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_w.x),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(res_f.residual), float(res_w.residual),
+                               rtol=1e-4)
+
+    # under-budget: fewer iterations, larger residual, still sane
+    cfg_s = pr.PressureSolverConfig(solver="mgpcg", tol=1e-6, maxiter=60,
+                                    fixed_iters=max(1, int(res_w.iters) - 2))
+    res_s = pr.solve_pressure(gamma_f, rhs, jnp.zeros(grid.shape), grid,
+                              bc, cfg_s)
+    assert int(res_s.iters) == max(1, int(res_w.iters) - 2)
+    assert float(res_s.residual) >= float(res_w.residual)

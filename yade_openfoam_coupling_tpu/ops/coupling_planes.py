@@ -104,12 +104,17 @@ def _staging_scatter(dat, oh, cell_sorted, keep, C, cap, ncells, nz,
         # column scatter: updates land as (C*cap, 1) columns of a
         # channel-major table — no transpose afterwards and the table
         # traverses at its true 268 MB (vs 1.1 GB lane-padded rows at
-        # 128^3); measured 13.0 -> 10.0 ms isolated (micro_pack.py)
+        # 128^3); measured 13.0 -> 10.0 ms isolated (micro_pack.py).
+        # Non-keep rows carry all-zero vals (callers zero `dat` under
+        # keep; rank>=cap zeroes `oh`), so instead of an overflow column
+        # (whose removal costs a full-table slice copy) they land
+        # harmlessly in their clipped cell — jnp.clip is monotone on the
+        # sorted cell ids, so indices_are_sorted stays truthful.
         vals = (dat[:, :, None] * oh[:, None, :]).reshape(N, C * cap)
-        rows = jnp.where(keep, cell_sorted, ncells)
-        tbl = jnp.zeros((C * cap, ncells + 1), dat.dtype).at[:, rows].add(
+        rows = jnp.clip(cell_sorted, 0, ncells - 1)
+        tbl = jnp.zeros((C * cap, ncells), dat.dtype).at[:, rows].add(
             vals.T, indices_are_sorted=True)
-        return tbl[:, :ncells].reshape(C, cap, ncells)
+        return tbl.reshape(C, cap, ncells)
     zp = max(1, 128 // (C * cap)) if packed else 1
     if zp > 1 and nz % zp == 0 and ncells % zp == 0:
         ncp = ncells // zp

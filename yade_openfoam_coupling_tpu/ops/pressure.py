@@ -130,6 +130,7 @@ def pcg(
     atol: float = 1e-30,
     rel_tol: float = 0.0,
     maxiter: int = 500,
+    fixed_iters: int = 0,
 ) -> CGResult:
     """Preconditioned CG with static shapes, jit/shard_map-safe.
 
@@ -143,6 +144,15 @@ def pcg(
       (`fvSolution` relTol; 0 disables, as in OpenFOAM).
     `reduce_sum` must produce the *global* sum when running per-shard
     (pass `lambda s: lax.psum(s, axes)`).
+
+    ``fixed_iters > 0`` runs exactly that many iterations under a static
+    `lax.fori_loop`, FREEZING the state once converged (alpha/beta masked
+    to 0) instead of exiting — identical x whenever convergence happens
+    within the budget, but no data-dependent loop condition (lax control
+    flow carries material per-evaluation overhead on v5e: one lax.cond
+    measured 15.6 ms/step in the coupled step, PERF.md round 3). The
+    reported iteration count still reflects the live iterations only, so
+    convergence assertions keep working.
     """
     M = precond if precond is not None else (lambda r: r)
 
@@ -180,24 +190,34 @@ def pcg(
         # so a well-posed direction has pAp < 0. |pAp| ~ 0 (nullspace) or a
         # sign flip means further iteration is numerical noise — stop.
         breakdown = pAp >= -1e-30 * jnp.maximum(gdot(p, p), 1e-30)
-        alpha = jnp.where(breakdown, 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp))
+        live = jnp.logical_not(done)
+        alpha = jnp.where(breakdown | done, 0.0,
+                          rz / jnp.where(pAp == 0.0, 1.0, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = gdot(r, z)
-        beta = jnp.where(breakdown, 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz))
-        p = z + beta * p
-        rnorm = jnp.sqrt(gdot(r, r))
+        beta = jnp.where(breakdown | done, 0.0,
+                         rz_new / jnp.where(rz == 0.0, 1.0, rz))
+        p = jnp.where(done, p, z + beta * p)
+        rz_new = jnp.where(done, rz, rz_new)
+        rnorm = jnp.where(done, rnorm, jnp.sqrt(gdot(r, r)))
         # Divergence guard: in f32 the residual can grow after stagnating
         # (loss of orthogonality); 4x above the best seen means further
         # iterations only amplify noise.
         diverging = rnorm > 4.0 * best
         best = jnp.minimum(best, rnorm)
-        done = converged(rnorm) | breakdown | diverging
-        return (x, r, z, p, rz_new, rnorm, best, it + 1, done)
+        done = done | converged(rnorm) | breakdown | diverging
+        return (x, r, z, p, rz_new, rnorm, best,
+                it + live.astype(jnp.int32), done)
 
     state = (x0, r0, z0, z0, rz0, rnorm0, rnorm0, jnp.int32(0), converged(rnorm0))
-    x, r, z, p, rz, rnorm, best, it, done = jax.lax.while_loop(cond, body, state)
+    if fixed_iters > 0:
+        x, r, z, p, rz, rnorm, best, it, done = jax.lax.fori_loop(
+            0, fixed_iters, lambda _, s: body(s), state)
+    else:
+        x, r, z, p, rz, rnorm, best, it, done = jax.lax.while_loop(
+            cond, body, state)
     return CGResult(x, it, rnorm, rnorm0)
 
 
@@ -336,6 +356,10 @@ class PressureSolverConfig:
     abs_tol: float = 1e-30     # OpenFOAM 'tolerance' (absolute; normFactor
     #                            scaling is a documented divergence)
     maxiter: int = 200
+    # run exactly this many CG iterations under a static fori_loop (state
+    # frozen once converged) instead of a data-dependent while_loop — see
+    # `pcg` fixed_iters. 0 = while_loop.
+    fixed_iters: int = 0
     mg: MGConfig = MGConfig()
     # fused Pallas matvec for the CG/MG stencil applies (interpret mode
     # off-TPU so CPU tests exercise the same path)
@@ -413,7 +437,7 @@ def solve_pressure(
         apply_A, rhs, p0,
         precond=M, reduce_sum=reduce_sum,
         tol=cfg.tol, atol=cfg.abs_tol, rel_tol=cfg.rel_tol,
-        maxiter=cfg.maxiter,
+        maxiter=cfg.maxiter, fixed_iters=cfg.fixed_iters,
     )
     x = res.x
     if nullspace:
