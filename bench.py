@@ -59,12 +59,13 @@ def main():
         # exchange='planes': channel-major slot planes + fused Pallas
         # interp/deposit kernels (measured 39 vs 63 ms for the sparse row
         # path at this config; equivalence-tested in tests/test_coupling_planes.py)
-        # packed_bin='col': column-scatter staging, 63.4 -> 62.2 ms
-        # in-context (abl V)
+        # packed_bin='col': column-scatter staging (abl V);
+        # dy_in_kernel: 3 per-dx deposit stacks instead of 9 per-(dx,dy),
+        # worth ~5.4 ms in the round-3 combo (abl ND vs AL)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="planes", slot_capacity=4,
-                                   packed_bin="col"),
+                                   packed_bin="col", dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
@@ -86,9 +87,14 @@ def main():
             # persistent Verlet list with statically-scheduled rebuild:
             # one unconditional build per 5-step scan chunk (no lax.cond —
             # 15.6 ms/step of conditional overhead on v5e, abl_r3.py);
-            # staleness guarded by the n_contact_overflow assertion below
+            # staleness guarded by the n_contact_overflow assertion below.
+            # K=10: halves the amortized rebuild (the 10-step scans timed
+            # below include one full rebuild each — honest amortization)
             list_reuse=True,
-            list_rebuild_steps=5,
+            list_rebuild_steps=10,
+            # carry the last substep's contact force across fluid steps —
+            # skips one of the n_sub+1 contact evaluations per step
+            carry_contact=True,
         ),
         pimple=PIMPLEConfig(
             # tracked metric: n_correctors=1, justified by the convergence
@@ -96,11 +102,11 @@ def main():
             # 2-corrector loop for the PERF.md honesty row
             n_outer=1,
             n_correctors=2 if "--correctors=2" in sys.argv else 1,
-            # 3+3 V-cycle smoothing: 0.4 ms/cycle more smoothing buys 3
-            # fewer CG iterations — 69.4 -> 63.4 ms/step (PERF.md MG scan)
+            # 4+4 V-cycle smoothing: steady-state CG iters drop 5 -> 4
+            # (abl X; PERF.md MG scan)
             pressure=pr.PressureSolverConfig(
                 solver="mgpcg", tol=1e-5, maxiter=40,
-                mg=pr.MGConfig(pre_smooth=3, post_smooth=3)),
+                mg=pr.MGConfig(pre_smooth=4, post_smooth=4)),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),
         gravity_fluid=(0.0, 0.0, -9.81),

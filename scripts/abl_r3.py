@@ -204,6 +204,12 @@ def main():
                 make_cfg(True, True, pre=4, post=4, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True,
                          fixed=5, cap=3))
+    if sel is None or "BW" in (sel or []):
+        # the round-3 bench candidate: NC minus fixed_iters (the frozen
+        # iterations of the static loop still pay full V-cycle work)
+        measure("BW K10 mg44 carry dyk cap4 while-CG",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True))
     if sel is None or "C3" in (sel or []):
         # slot_capacity 4 -> 3: 25% less D/staging/kernel slot traffic;
         # ovf must print 0 for the cut to be exact at this density

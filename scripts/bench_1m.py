@@ -50,7 +50,8 @@ def main():
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="planes", slot_capacity=4,
-                                   planes_chunks=8),
+                                   planes_chunks=8, packed_bin="col",
+                                   dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -61,12 +62,13 @@ def main():
             # statically-scheduled rebuild (no per-step lax.cond) +
             # distance-refined candidate rows
             list_rebuild_steps=5, refined_neighbors=4,
+            carry_contact=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
             pressure=pr.PressureSolverConfig(
                 solver="mgpcg", tol=1e-5, maxiter=40,
-                mg=pr.MGConfig(pre_smooth=3, post_smooth=3)),
+                mg=pr.MGConfig(pre_smooth=4, post_smooth=4)),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),
         gravity_fluid=(0.0, 0.0, -9.81),
