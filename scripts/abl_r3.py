@@ -35,7 +35,7 @@ def main():
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
                  sampled=False, refined=0, sfetch=False, carry=False,
-                 pbin="", dyk=False, fixed=0, cap=4):
+                 pbin="", dyk=False, fixed=0, cap=4, punbin=False):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -45,7 +45,7 @@ def main():
                                        stencil_shape="sphere2",
                                        exchange="planes", slot_capacity=cap,
                                        fused_planes=fused, packed_bin=pbin,
-                                       dy_in_kernel=dyk),
+                                       dy_in_kernel=dyk, packed_unbin=punbin),
             dem=dem.DEMConfig(
                 params=dem.ContactParams(kn=100.0, rho_p=2500.0),
                 gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -210,6 +210,13 @@ def main():
         measure("BW K10 mg44 carry dyk cap4 while-CG",
                 make_cfg(True, True, pre=4, post=4, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True, dyk=True))
+    if sel is None or "PU" in (sel or []):
+        # BW + packed_unbin: z-packed unbin table (true 128 lanes instead
+        # of the 8x lane-padded (ncells, 16) transpose)
+        measure("PU BW + packed_unbin",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         punbin=True))
     if sel is None or "C3" in (sel or []):
         # slot_capacity 4 -> 3: 25% less D/staging/kernel slot traffic;
         # ovf must print 0 for the cut to be exact at this density

@@ -33,14 +33,18 @@ def _particles(grid, n, seed=1, pad=0):
     return cp.ParticleFields(posp, vel, ang, radius, active)
 
 
-@pytest.mark.parametrize("dy_in_kernel", [False, True])
+@pytest.mark.parametrize("fast", [False, True])
 @pytest.mark.parametrize("periodic", [(True, True, False), (False, False, False)])
-def test_planes_matches_sparse(periodic, dy_in_kernel):
+def test_planes_matches_sparse(periodic, fast):
+    """fast=True turns on the round-3 kernel/unbin variants together
+    (dy_in_kernel + packed_unbin; cap=4 so zp=8 divides ncells and the
+    packed unbin actually engages)."""
     grid = Grid.cube(12, 0.012)
     cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
                             stencil_shape="sphere2",
-                            exchange="planes", slot_capacity=6,
-                            dy_in_kernel=dy_in_kernel)
+                            exchange="planes",
+                            slot_capacity=4 if fast else 6,
+                            dy_in_kernel=fast, packed_unbin=fast)
     pf = _particles(grid, 40, pad=3)
     u, gp, dtau, ddtu, curl = _fields(grid)
     prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97

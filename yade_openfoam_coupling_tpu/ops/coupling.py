@@ -128,6 +128,12 @@ class CouplingConfig:
     # ~800 MB/step less stack write+read traffic at 128^3. Epilogues are
     # unchanged (combos arrive as (dx, 0)).
     dy_in_kernel: bool = False
+    # planes mode: z-pack the unbin table. The row-major per-slot result
+    # table (ncells, n_res*cap=16) lane-pads its minor dim 8x (~1.07 GB
+    # materialized at 128^3); packing zp=128/(n_res*cap) z-consecutive
+    # cells per row makes it (ncells/zp, 128) at its true 134 MB. The
+    # slot block is then selected by a fused (z-position x rank) one-hot.
+    packed_unbin: bool = False
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4

@@ -58,10 +58,11 @@ from jax.experimental import pallas as pl
 try:
     from jax.experimental.pallas import tpu as pltpu
     # the kernels hold C-channel accumulators plus 3 halo plane views per
-    # grid step (~25-30 MB at 128^3); Mosaic's default 16 MB scoped-VMEM
-    # budget is a soft limit well under the v5e's 128 MiB physical VMEM
+    # grid step (~25-30 MB at 128^3, ~108 MB at 256^2 planes of the 1M
+    # chunked config); Mosaic's default 16 MB scoped-VMEM budget is a soft
+    # limit well under the v5e's 128 MiB physical VMEM
     _COMPILER_KW = dict(compiler_params=pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024))
+        vmem_limit_bytes=120 * 1024 * 1024))
 except Exception:  # pragma: no cover
     _COMPILER_KW = {}
 
@@ -686,6 +687,38 @@ def _physics_planes(
 
 
 # ---------------------------------------------------------------------------
+# Unbin: per-slot results -> per-particle rows (sorted order)
+# ---------------------------------------------------------------------------
+
+def _unbin_rows(per, cell_sorted, rank, keep, ncells, cfg: cp.CouplingConfig):
+    """Fetch each (sorted) particle's slot-result row from the per-slot
+    table `per` (n_res, cap, ncells) and select its rank block.
+
+    Default layout: one (ncells, n_res*cap) row per cell — the minor dim
+    (16 at cap=4) lane-pads 8x, so the materialized transpose costs ~1 GB
+    at 128^3. `cfg.packed_unbin` packs zp = 128/(n_res*cap) z-consecutive
+    cells per row — a (ncells/zp, 128) table at its true size — and
+    selects the cell's block with a fused (z-position x rank) one-hot."""
+    n_res, cap = per.shape[0], per.shape[1]
+    N = cell_sorted.shape[0]
+    P = n_res * cap
+    cell_c = jnp.minimum(cell_sorted, ncells - 1)
+    sel = ((rank[:, None] == jnp.arange(cap)[None, :])
+           & keep[:, None]).astype(per.dtype)
+    zp = max(1, 128 // P)
+    if cfg.packed_unbin and zp > 1 and ncells % zp == 0:
+        tr = per.reshape(P, ncells // zp, zp).transpose(1, 2, 0)
+        tr = tr.reshape(ncells // zp, zp * P)              # true 128 lanes
+        g = tr[cell_c // zp].reshape(N, zp, n_res, cap)
+        zoh = (jnp.mod(cell_c, zp)[:, None]
+               == jnp.arange(zp)[None, :]).astype(per.dtype)
+        return jnp.einsum("nmck,nm,nk->nc", g, zoh, sel)   # (N, n_res)
+    tr = per.reshape(P, ncells).T                          # (ncells, cap*n_res)
+    g = tr[cell_c].reshape(N, n_res, cap)                  # channel-major cols
+    return jnp.einsum("nck,nk->nc", g, sel)                # (N, n_res)
+
+
+# ---------------------------------------------------------------------------
 # Full exchange
 # ---------------------------------------------------------------------------
 
@@ -755,14 +788,8 @@ def gaussian_coupling_planes(
     u_source_drag = fields[4]
     u_source = u_source_drag[None] * u_particle + fields[5:8]
 
-    # unbin: (n_res, cap, ncells) -> (ncells, cap*n_res) -> row per sorted
-    # particle
-    tr = per.reshape(n_res * cap, ncells).T                # (ncells, cap*n_res)
-    rows = jnp.minimum(bins.cell_sorted, ncells - 1)
-    g = tr[rows].reshape(N, n_res, cap)                    # channel-major cols
-    sel = ((bins.rank[:, None] == jnp.arange(cap)[None, :])
-           & bins.keep[:, None]).astype(g.dtype)
-    res_sorted = jnp.einsum("nck,nk->nc", g, sel)          # (N, n_res)
+    res_sorted = _unbin_rows(per, bins.cell_sorted, bins.rank, bins.keep,
+                             ncells, cfg)
     res = res_sorted[bins.inv_order]
 
     if n_res == 4:
@@ -928,12 +955,8 @@ def gaussian_coupling_planes_chunked(
                 fields_acc, curp + src[:, None], (0, plane, 0, 0))
 
         # windowed unbin
-        tr = pres.reshape(n_res * cap, ncl).T              # (ncl, cap*n_res)
-        rows2 = jnp.clip(cell_loc, 0, ncl - 1)
-        g = tr[rows2].reshape(N_w, n_res, cap)
-        sel = ((rank_w[:, None] == oh_k[None, :]) & keep[:, None]
-               ).astype(g.dtype)
-        res_w = jnp.einsum("nck,nk->nc", g, sel)
+        res_w = _unbin_rows(pres, jnp.clip(cell_loc, 0, ncl - 1), rank_w,
+                            keep, ncl, cfg)
         cur_r = jax.lax.dynamic_slice(res_s, (start, 0), (N_w, n_res))
         res_s = jax.lax.dynamic_update_slice(
             res_s, jnp.where(in_chunk[:, None], res_w, cur_r), (start, 0))

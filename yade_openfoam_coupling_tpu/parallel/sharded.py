@@ -355,17 +355,12 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         u_source_drag = out[4]
         u_source = u_source_drag[None] * u_particle + out[5:8]
 
-        # unbin (slab-local)
-        N = pf.pos.shape[0]
+        # unbin (slab-local; packed_unbin-aware — see cpp._unbin_rows)
         ncl = n_loc * ny * nz
         per = jnp.concatenate([force, torque,
                                found.astype(force.dtype)[None]])
-        tr = per.reshape(7 * cap, ncl).T
-        rows = jnp.minimum(bins.cell_sorted, ncl - 1)
-        g = tr[rows].reshape(N, 7, cap)
-        sel = ((bins.rank[:, None] == jnp.arange(cap)[None, :])
-               & bins.keep[:, None]).astype(g.dtype)
-        res_sorted = jnp.einsum("nck,nk->nc", g, sel)
+        res_sorted = cpp._unbin_rows(per, bins.cell_sorted, bins.rank,
+                                     bins.keep, ncl, ccfg)
         res = res_sorted[bins.inv_order]
 
         return cp.CouplingResult(
