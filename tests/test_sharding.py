@@ -210,9 +210,14 @@ def test_gaussian_planes_sharded_matches_single():
     interpret mode + ring deposit halo) vs the single-device planes run."""
     import dataclasses as _dc
     cfg = _gaussian_cfg()
+    # round-3 layout variants on: column-scatter staging, in-kernel dy
+    # rolls, z-packed unbin (cap=4 so zp=8 divides the local cell count
+    # and the packed path actually engages)
     cfg = _dc.replace(
         cfg, coupling=_dc.replace(cfg.coupling, lag_alpha=True,
-                                  exchange="planes", slot_capacity=6),
+                                  exchange="planes", slot_capacity=4,
+                                  packed_bin="col", dy_in_kernel=True,
+                                  packed_unbin=True),
     )
     rng = np.random.RandomState(1)
     pos = rng.uniform(0.003, 0.013, (24, 3))

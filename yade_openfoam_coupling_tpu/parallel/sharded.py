@@ -295,7 +295,8 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         start = lax.axis_index(AXIS) * n_loc
         bins = cpp.bin_particles_planes(pf, grid, cap,
                                         x_start=start, n_loc=n_loc,
-                                        with_angvel=ccfg.use_torque)
+                                        with_angvel=ccfg.use_torque,
+                                        packed_bin=ccfg.packed_bin)
 
         comps = [fs.u, grad_p, div_tau]
         if ccfg.use_torque:
