@@ -35,7 +35,8 @@ def main():
     def make_cfg(fused, reuse, extrap=0.0, bf16=False, margin=0.5,
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
                  sampled=False, refined=0, sfetch=False, carry=False,
-                 pbin="", dyk=False, fixed=0, cap=4, punbin=False):
+                 pbin="", dyk=False, fixed=0, cap=4, punbin=False,
+                 smoother="jacobi"):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -62,7 +63,7 @@ def main():
                     solver="mgpcg", tol=1e-5, maxiter=40, fixed_iters=fixed,
                     mg=pr.MGConfig(bf16=bf16, pre_smooth=pre,
                                    post_smooth=post, levels=levels,
-                                   coarse_iters=coarse)),
+                                   coarse_iters=coarse, smoother=smoother)),
             ),
             turbulence=TurbulenceConfig(model="kEqn"),
             gravity_fluid=(0.0, 0.0, -9.81),
@@ -217,6 +218,19 @@ def main():
                 make_cfg(True, True, pre=4, post=4, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True, dyk=True,
                          punbin=True))
+    if sel is None or "CH" in (sel or []):
+        # Chebyshev(3+3) MG smoothing: 4 CG iters where jacobi 4+4 needs 5
+        # (CPU iteration-count scan; tests/test_pressure.py)
+        measure("CH BW + cheby 3+3",
+                make_cfg(True, True, pre=3, post=3, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         smoother="chebyshev"))
+    if sel is None or "CP" in (sel or []):
+        # CH + packed_unbin: the full round-3 candidate stack
+        measure("CP BW + cheby33 + packed_unbin",
+                make_cfg(True, True, pre=3, post=3, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         smoother="chebyshev", punbin=True))
     if sel is None or "C3" in (sel or []):
         # slot_capacity 4 -> 3: 25% less D/staging/kernel slot traffic;
         # ovf must print 0 for the cut to be exact at this density

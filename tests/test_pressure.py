@@ -152,3 +152,26 @@ def test_fixed_iters_matches_while_loop():
                               bc, cfg_s)
     assert int(res_s.iters) == max(1, int(res_w.iters) - 2)
     assert float(res_s.residual) >= float(res_w.residual)
+
+
+def test_chebyshev_smoother_converges():
+    """MGConfig.smoother='chebyshev': polynomially-damped smoothing gives
+    the exact manufactured solution within tolerance and needs no more CG
+    iterations than the damped-Jacobi V-cycle at equal smooth counts."""
+    grid, bc, p_exact = _setup(32)
+    X = grid.cell_centers()
+    gamma = 1.0 + 0.5 * jnp.sin(X[0]) * jnp.sin(X[1])
+    gamma_f = st.face_interp(gamma, bc, grid)
+    rhs = pr.poisson_apply(p_exact, gamma_f, grid, pr.default_pad(bc))
+
+    iters = {}
+    for sm in ("jacobi", "chebyshev"):
+        cfg = pr.PressureSolverConfig(
+            solver="mgpcg", tol=1e-6, maxiter=60,
+            mg=pr.MGConfig(pre_smooth=3, post_smooth=3, smoother=sm))
+        res = pr.solve_pressure(gamma_f, rhs, jnp.zeros(grid.shape), grid,
+                                bc, cfg)
+        p = res.x - jnp.mean(res.x) + jnp.mean(p_exact)
+        assert float(jnp.max(jnp.abs(p - p_exact))) < 1e-3, sm
+        iters[sm] = int(res.iters)
+    assert iters["chebyshev"] <= iters["jacobi"]
