@@ -38,7 +38,31 @@ def main():
     cfg, state, _ = cb.sedimentation_cloud()
     run("ladder #2: 500-sphere sedimentation (PISO, 32^3)", cfg, state)
 
-    cfg, state, _ = cb.fluidized_bed()
+    # flagship round-3 exchange overlays (builders keep the plain configs
+    # the CPU test suite exercises); re-initialize so the persistent-list
+    # and carried-contact leaves exist in the scan carry
+    import dataclasses as dc
+    import numpy as np
+    from yade_openfoam_coupling_tpu.models.fields import (
+        make_fluid_state, make_particle_state, make_turbulence_state,
+    )
+    cfg, state, dt0 = cb.fluidized_bed()
+    cfg = dc.replace(
+        cfg,
+        # cap=6: the settled bed packs up to ~5 particles/cell at this
+        # radius/cell ratio (the tracked 128^3 config is dilute, cap=4)
+        coupling=dc.replace(cfg.coupling, lag_alpha=True, exchange="planes",
+                            stencil_shape="sphere2", slot_capacity=6,
+                            packed_bin="col", dy_in_kernel=True,
+                            packed_unbin=True),
+        dem=dc.replace(cfg.dem, list_reuse=True, list_rebuild_steps=10,
+                       refined_neighbors=4, carry_contact=True),
+    )
+    state = cd.initialize_state(
+        make_fluid_state(cfg.grid),
+        make_particle_state(pos=np.asarray(state.particles.pos),
+                            radius=np.asarray(state.particles.radius)),
+        make_turbulence_state(cfg.grid, k0=1e-6), cfg, dt=dt0)
     run("ladder #3: 10k fluidized bed (PIMPLE 4-way + kEqn)", cfg, state)
 
 
