@@ -84,3 +84,31 @@ def test_cli_smoke(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "End" in out
+
+
+def test_cli_fast_smoke(tmp_path, capsys):
+    """--fast: the flagship planes/fused-kernel pipeline driven from an
+    OpenFOAM case dir (pimplefoam)."""
+    (tmp_path / "system").mkdir()
+    (tmp_path / "constant").mkdir()
+    (tmp_path / "system/controlDict").write_text(
+        "deltaT 1e-4; endTime 4e-4; writeInterval 1; maxCo 0.5;"
+    )
+    (tmp_path / "system/blockMeshDict").write_text(
+        "vertices ( (0 0 0) (0.008 0 0) (0.008 0.008 0) (0 0.008 0)"
+        " (0 0 0.008) (0.008 0 0.008) (0.008 0.008 0.008) (0 0.008 0.008) );"
+        " blocks ( hex (0 1 2 3 4 5 6 7) (8 8 8) simpleGrading (1 1 1) );"
+    )
+    (tmp_path / "constant/transportProperties").write_text(
+        "nu nu [0 2 -1 0 0 0 0] 1e-06; partDensity 2500; fluidDensity 1000;"
+    )
+    from yade_openfoam_coupling_tpu.cli import main
+
+    rc = main([
+        "pimplefoam", str(tmp_path), "--fast",
+        "--random-particles", "8", "--radius", "1e-4",
+        "--chunk", "2", "--max-steps", "4", "--dem-substeps", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "End" in out

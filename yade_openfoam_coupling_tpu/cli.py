@@ -61,10 +61,24 @@ def _run_solver(args, solver: str):
         buoyancy=(solver == "piso"),
         neighbor="cells" if (args.random_particles or 0) > 4000 else "allpairs",
     )
+    if getattr(args, "fast", False) and solver == "pimple":
+        # the flagship TPU exchange (bench.py configuration): plane-dense
+        # slots + fused Pallas kernel, persistent Verlet list, carried
+        # contact force. lag_alpha is the documented O(dt) divergence.
+        coupling_cfg = cp.CouplingConfig(
+            gaussian=True, lag_alpha=True, stencil_shape="sphere2",
+            exchange="planes", slot_capacity=args.slot_capacity,
+            packed_bin="col", dy_in_kernel=True, packed_unbin=True)
+        dem_cfg = __import__("dataclasses").replace(
+            dem_cfg, neighbor="cells", list_reuse=True,
+            list_rebuild_steps=min(10, args.chunk), refined_neighbors=4,
+            carry_contact=True)
+    else:
+        coupling_cfg = cp.CouplingConfig(gaussian=(solver == "pimple"))
     cfg, rc = load_case(
         args.case,
         solver=solver,
-        coupling=cp.CouplingConfig(gaussian=(solver == "pimple")),
+        coupling=coupling_cfg,
         dem_cfg=dem_cfg,
         n_dem_substeps=args.dem_substeps,
         r_max=args.radius,
@@ -122,6 +136,13 @@ def main(argv=None) -> int:
         s.add_argument("--max-steps", type=int, default=None)
         s.add_argument("--write", action="store_true")
         s.add_argument("--checkpoint-dir", default=None)
+        s.add_argument("--fast", action="store_true",
+                       help="flagship TPU exchange (planes + fused kernel "
+                            "+ persistent Verlet list; pimplefoam only)")
+        s.add_argument("--slot-capacity", type=int, default=4,
+                       help="--fast: max particles per cell in the slot "
+                            "planes (overflowed particles are uncoupled "
+                            "for the step and counted)")
         return s
 
     add_solver("icofoam")
