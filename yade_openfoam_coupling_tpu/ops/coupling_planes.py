@@ -15,8 +15,9 @@ benchmark drove every choice (PERF.md):
 
 Pipeline:
   1. bin: sort particles by cell (argsort + cummax rank), one-hot place
-     each particle's 8 data channels into a (ncells+1, 8*cap) row and
-     scatter-ADD with sorted indices; transpose once -> D (8, cap, ncells).
+     each particle's 7 data channels into the channel-major staging
+     table with sorted indices -> D (7[+3], cap, ncells); activity is
+     rad > 0 (non-kept rows scatter zeros).
   2. interp (Pallas kernel A): for each x-plane, read the halo-padded
      fluid stack (3 plane views) and the slot positions; recompute the
      normalized Gaussian weights in VMEM (exp is cheap, HBM is not) and
@@ -76,8 +77,9 @@ from .grid import Grid
 # ---------------------------------------------------------------------------
 
 class PlaneBins(NamedTuple):
-    D: jnp.ndarray            # (8[+3], cap, ncells): px py pz vx vy vz rad
-    #                           act [+ angvel xyz in torque mode]
+    D: jnp.ndarray            # (7[+3], cap, ncells): px py pz vx vy vz rad
+    #                           [+ angvel xyz in torque mode]; activity is
+    #                           rad > 0 (non-kept rows scatter zeros)
     order: jnp.ndarray        # (N,) sorted-by-cell particle order
     inv_order: jnp.ndarray    # (N,) inverse permutation
     cell_sorted: jnp.ndarray  # (N,) flat cell per sorted particle (ncells=invalid)
@@ -145,14 +147,15 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
     origin plane) and ``n_loc`` — into this shard's x-slab; particles
     outside the slab are invalid (the owner-shard mask of the sparse
     sharded exchange). ``with_angvel`` appends the 3 angular-velocity
-    channels (torque mode); `act` stays at channel 7 so the kernels' pos
-    extraction is layout-stable."""
+    channels (torque mode). There is NO explicit activity channel:
+    non-kept rows scatter zeros, so slot activity is exactly rad > 0
+    (channel 6) — one fewer staging channel through the scatter/table."""
     N = pf.pos.shape[0]
     nx, ny, nz = grid.shape
     if n_loc is not None:
         nx = n_loc
     ncells = nx * ny * nz
-    C = 11 if with_angvel else 8
+    C = 10 if with_angvel else 7
 
     base, inside = cp.locate(pf.pos, grid)
     valid = pf.active & inside
@@ -169,8 +172,7 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
     rank = rank_in_sorted_segments(cell_sorted)
     keep = (rank < cap) & (cell_sorted < ncells)
 
-    cols = [pf.pos, pf.vel, pf.radius[:, None],
-            valid.astype(pf.pos.dtype)[:, None]]
+    cols = [pf.pos, pf.vel, pf.radius[:, None]]
     if with_angvel:
         cols.append(pf.angvel)
     dat = jnp.concatenate(cols, axis=-1)[order]            # (N, C) sorted
@@ -290,7 +292,7 @@ def _interp_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, pos_ref, out_ref, *,
 
 def interp_planes_padded(
     Fp: jnp.ndarray,           # (C_in, nxl+2, ny+2, nz+2) ghost-padded stack
-    D: jnp.ndarray,            # (8, cap, nxl*ny*nz) slot planes
+    D: jnp.ndarray,            # (7[+3], cap, nxl*ny*nz) slot planes
     grid: Grid,                # GLOBAL grid (coordinates / wall masks)
     periodic: Tuple[bool, bool, bool],
     cfg: cp.CouplingConfig,
@@ -304,7 +306,7 @@ def interp_planes_padded(
     cap = cfg.slot_capacity
     offsets = cp.stencil_offsets(cfg)
 
-    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nxl, ny, nz)
+    posact = jnp.concatenate([D[0:3], (D[6:7] > 0).astype(D.dtype)]).reshape(4, cap, nxl, ny, nz)
     xoff_arr = jnp.asarray([x_off], jnp.int32)
 
     kernel = partial(_interp_kernel, grid=grid, periodic=periodic,
@@ -345,7 +347,7 @@ def pad_wrap_zero(F: jnp.ndarray, periodic) -> jnp.ndarray:
 
 def interp_planes(
     F: jnp.ndarray,            # (C_in, nx, ny, nz) stacked input fields
-    D: jnp.ndarray,            # (8, cap, ncells) slot planes
+    D: jnp.ndarray,            # (7[+3], cap, ncells) slot planes
     grid: Grid,
     periodic: Tuple[bool, bool, bool],
     cfg: cp.CouplingConfig,
@@ -409,7 +411,7 @@ def _deposit_kernel(xoff_ref, pos_ref, v_ref, out_ref, *, grid: Grid,
 
 def deposit_stacks(
     V: jnp.ndarray,            # (C_out, cap, nloc_cells) per-slot values
-    D: jnp.ndarray,            # (8, cap, nloc_cells)
+    D: jnp.ndarray,            # (7[+3], cap, nloc_cells)
     nxl: int,
     grid: Grid,
     periodic: Tuple[bool, bool, bool],
@@ -427,7 +429,7 @@ def deposit_stacks(
     combos = sorted({_combo_of(o, cfg.dy_in_kernel) for o in offsets})
     n_combo = len(combos)
 
-    posact = jnp.concatenate([D[0:3], D[7:8]]).reshape(4, cap, nxl, ny, nz)
+    posact = jnp.concatenate([D[0:3], (D[6:7] > 0).astype(D.dtype)]).reshape(4, cap, nxl, ny, nz)
     Vp = V.reshape(C_out, cap, nxl, ny, nz)
     xoff_arr = jnp.asarray([x_off], jnp.int32)
 
@@ -455,7 +457,7 @@ def deposit_stacks(
 
 def deposit_planes(
     V: jnp.ndarray,            # (C_out, cap, ncells) per-slot deposit values
-    D: jnp.ndarray,            # (8, cap, ncells)
+    D: jnp.ndarray,            # (7[+3], cap, ncells)
     grid: Grid,
     periodic: Tuple[bool, bool, bool],
     cfg: cp.CouplingConfig,
@@ -499,8 +501,8 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
     i = pl.program_id(0)
     dtype = stk_ref.dtype
 
-    D = d_ref[:, :, 0]                                  # (8[+3], cap, ny, nz)
-    pos = [D[0], D[1], D[2], D[7]]
+    D = d_ref[:, :, 0]                                  # (7[+3], cap, ny, nz)
+    pos = [D[0], D[1], D[2], (D[6] > 0).astype(dtype)]
     fxd, fyd, fzd = _axis_factors_plane(pos, i, grid, periodic, offsets,
                                         ny, nz, dtype, x_off=xoff_ref[0])
     views = {-1: fm_ref, 0: f0_ref, 1: fp_ref}
@@ -552,7 +554,7 @@ def _fused_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, d_ref, stk_ref, pres_ref,
 
 def fused_exchange_padded(
     Fp: jnp.ndarray,           # (C_in, nxl+2, ny+2, nz+2) ghost-padded stack
-    D: jnp.ndarray,            # (8, cap, nxl*ny*nz) slot planes
+    D: jnp.ndarray,            # (7[+3], cap, nxl*ny*nz) slot planes
     grid: Grid,
     periodic: Tuple[bool, bool, bool],
     cfg: cp.CouplingConfig,
@@ -626,7 +628,7 @@ def _physics_planes(
     torque (3, cap, ncells), found (cap, ncells)."""
     vel = D[3:6]
     radius = D[6]
-    act = D[7] > 0.5
+    act = D[6] > 0.0
     found = (norm > 0.0) & act
 
     uf = G[0:3]
@@ -675,8 +677,8 @@ def _physics_planes(
         # rotational Stokes drag pi d^3 nu rho (curl/2 - omega) — same
         # formula as the sparse path (module-docstring divergence note on
         # the reference's sign inconsistency, FoamYade.C:446-483); angvel
-        # rides as binned channels 8:11 (bin_particles_planes with_angvel)
-        angvel = D[8:11]
+        # rides as binned channels 7:10 (bin_particles_planes with_angvel)
+        angvel = D[7:10]
         wf = 0.5 * curl
         torque = jnp.pi * (dia ** 3)[None] * (wf - angvel) * nu * rho_f
         torque = jnp.where(found[None], torque, 0.0)
@@ -865,7 +867,7 @@ def gaussian_coupling_planes_chunked(
     ncl = nxc * ny * nz
     ncells = grid.ncells
     cap = cfg.slot_capacity
-    C_d = 11 if cfg.use_torque else 8
+    C_d = 10 if cfg.use_torque else 7
     n_res = 7 if cfg.use_torque else 4
     N = pf.pos.shape[0]
     Vc = grid.cell_volume
@@ -882,8 +884,7 @@ def gaussian_coupling_planes_chunked(
     cell_s = cell[order]
     rank_s = rank_in_sorted_segments(cell_s)
 
-    cols = [pf.pos, pf.vel, pf.radius[:, None],
-            valid.astype(pf.pos.dtype)[:, None]]
+    cols = [pf.pos, pf.vel, pf.radius[:, None]]
     if cfg.use_torque:
         cols.append(pf.angvel)
     dat_s = jnp.concatenate(cols, axis=-1)[order]          # (N, C_d)
