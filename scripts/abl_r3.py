@@ -36,7 +36,7 @@ def main():
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
                  sampled=False, refined=0, sfetch=False, carry=False,
                  pbin="", dyk=False, fixed=0, cap=4, punbin=False,
-                 smoother="jacobi"):
+                 smoother="jacobi", turb="kEqn"):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -65,7 +65,7 @@ def main():
                                    post_smooth=post, levels=levels,
                                    coarse_iters=coarse, smoother=smoother)),
             ),
-            turbulence=TurbulenceConfig(model="kEqn"),
+            turbulence=TurbulenceConfig(model=turb),
             gravity_fluid=(0.0, 0.0, -9.81),
             n_dem_substeps=4, r_max=radius,
             sampled_diagnostics=sampled,
@@ -231,6 +231,14 @@ def main():
                 make_cfg(True, True, pre=3, post=3, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True, dyk=True,
                          smoother="chebyshev", punbin=True))
+    if sel is None or "NT" in (sel or []):
+        # turbulence cost probe: BW config with the laminar closure (the
+        # kEqn transport's in-context cost has not been measured since
+        # round 1's "overlapped by XLA" claim)
+        measure("NT BW laminar (turb cost probe)",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         turb="laminar"))
     if sel is None or "C3" in (sel or []):
         # slot_capacity 4 -> 3: 25% less D/staging/kernel slot traffic;
         # ovf must print 0 for the cut to be exact at this density
