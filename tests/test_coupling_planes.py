@@ -174,3 +174,31 @@ def test_chunked_planes_matches_monolithic(periodic, packed_bin):
             err_msg=name)
     np.testing.assert_allclose(np.asarray(chunk.force),
                                np.asarray(mono.force), rtol=2e-4, atol=1e-10)
+
+
+def test_deposit_kernel_dy_in_kernel_matches():
+    """Two-kernel pipeline (fused_planes=False): in-kernel dy rolls give
+    the identical deposited fields as the epilogue rolls."""
+    import dataclasses
+    grid = Grid.cube(10, 0.010)
+    pf = _particles(grid, 50, pad=2)
+    u, gp, dtau, ddtu, curl = _fields(grid)
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.95
+    base = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                             stencil_shape="sphere2", exchange="planes",
+                             slot_capacity=6, fused_planes=False)
+    out = {}
+    for dyk in (False, True):
+        cfg = dataclasses.replace(base, dy_in_kernel=dyk)
+        out[dyk] = cpp.gaussian_coupling_planes(
+            pf, u, gp, dtau, ddtu, curl, grid, (True, True, False),
+            1e-6, 1000.0, 1e-4, cfg, prev_alpha=prev_alpha, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[True].u_source),
+                               np.asarray(out[False].u_source),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[True].alpha),
+                               np.asarray(out[False].alpha),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out[True].force),
+                               np.asarray(out[False].force),
+                               rtol=1e-6, atol=1e-12)
