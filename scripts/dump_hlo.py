@@ -45,20 +45,24 @@ def main():
         grid=grid, bcs=FluidBCs.channel_z(),
         transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
         solver="pimple",
+        # mirror the tracked bench.py (BW) configuration
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4),
+                                   exchange="planes", slot_capacity=4,
+                                   packed_bin="col", dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
             periodic=(True, True, False), wall_axes=(False, False, True),
             neighbor="cells", cell_capacity=4, max_neighbors=8,
-            list_reuse=True,
+            list_reuse=True, list_rebuild_steps=10, refined_neighbors=4,
+            sorted_fetch=True, carry_contact=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
-            pressure=pr.PressureSolverConfig(solver="mgpcg", tol=1e-5,
-                                             maxiter=40)),
+            pressure=pr.PressureSolverConfig(
+                solver="mgpcg", tol=1e-5, maxiter=40,
+                mg=pr.MGConfig(pre_smooth=4, post_smooth=4))),
         turbulence=TurbulenceConfig(model="kEqn"),
         gravity_fluid=(0.0, 0.0, -9.81),
         n_dem_substeps=4, r_max=radius,
