@@ -246,13 +246,22 @@ def coupled_step(
         co_mean, co_max = courant(fs.phi, grid, state.dt, ctx)
     if cfg.time.adjust_time_step:
         from ..utils.diagnostics import diffusive_dt_bound
-        nut_max = ctx.max(jnp.max(tb.nut)) if cfg.solver == "pimple" else 0.0
-        dt = new_dt(co_max, state.dt, cfg.time,
-                    dt_diff=diffusive_dt_bound(grid, tp.nu, nut_max))
-        if cfg.dem.enforce_critical_dt:
+        if cfg.solver == "pimple" and cfg.pimple.implicit_diffusion:
+            # fvm::laplacian parity: implicit diffusion has no stability
+            # bound — dt is Courant-limited only (PIMPLEConfig docs)
+            dt_diff = None
+        else:
+            nut_max = (ctx.max(jnp.max(tb.nut))
+                       if cfg.solver == "pimple" else 0.0)
+            dt_diff = diffusive_dt_bound(grid, tp.nu, nut_max)
+        dt = new_dt(co_max, state.dt, cfg.time, dt_diff=dt_diff)
+        if cfg.dem.enforce_critical_dt or cfg.dem.dynamic_substeps:
             # DEM stability: dt/n_sub <= Rayleigh critical dt (exchangeDT
             # parity — see DEMConfig.enforce_critical_dt). min over shards:
-            # radius is per-local-slab under particle sharding.
+            # radius is per-local-slab under particle sharding. With
+            # dynamic_substeps this is only the BACKSTOP for
+            # ceil(dt/dt_c) > n_dem_substeps — below it the substep count
+            # adapts instead of the fluid dt (DEMConfig.dynamic_substeps).
             dt_c = ctx.min(demod.critical_dt_dynamic(
                 ps.radius, ps.active, cfg.dem.params))
             dt = jnp.minimum(dt, cfg.n_dem_substeps * dt_c)
@@ -275,7 +284,22 @@ def coupled_step(
 
     # 4. DEM substeps (hydro force held constant over the fluid dt, as in
     #    the reference's once-per-fluid-step force send)
-    dt_dem = dt / cfg.n_dem_substeps
+    n_sub = cfg.n_dem_substeps
+    if cfg.dem.dynamic_substeps:
+        # true exchangeDT semantics (FoamYade.C:537-553): the SUBSTEP COUNT
+        # adapts to ceil(dt / dt_crit) each step (static max n_sub, masked
+        # zero-dt tail) instead of throttling the fluid dt
+        dt_c = ctx.min(demod.critical_dt_dynamic(
+            ps.radius, ps.active, cfg.dem.params))
+        n_eff = jnp.clip(
+            jnp.ceil(dt / dt_c).astype(jnp.int32), 1, n_sub)
+        dt_dem = dt / n_eff.astype(dt.dtype)
+        dt_seq = jnp.where(jnp.arange(n_sub) < n_eff, dt_dem,
+                           jnp.zeros((), dt.dtype))
+    else:
+        n_eff = jnp.int32(n_sub)
+        dt_dem = dt / n_sub
+        dt_seq = None
     hydro = demod.DEMForces(cres.force, cres.torque)
 
     # persistent Verlet list: rebuild under lax.cond only when accumulated
@@ -337,7 +361,7 @@ def coupled_step(
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
                 shear=demod.ShearState(ps.shear_xi, ps.shear_ids,
                                        ps.shear_wall),
-                pid=ps.pid, nbr=nbr,
+                pid=ps.pid, nbr=nbr, dt_seq=dt_seq,
             )
             ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                              shear_wall=sh.xi_wall)
@@ -347,20 +371,28 @@ def coupled_step(
             pos, vel, angvel, n_overflow, fc, tc = demod.dem_substeps(
                 ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
-                nbr=nbr, carried=carried,
+                nbr=nbr, carried=carried, dt_seq=dt_seq,
             )
             ps = ps._replace(contact_f=fc, contact_t=tc)
         else:
             pos, vel, angvel, n_overflow = demod.dem_substeps(
                 ps.pos, ps.vel, ps.angvel, ps.radius, ps.active,
                 hydro, grid, cfg.dem, dt_dem, cfg.n_dem_substeps, cfg.r_max,
-                nbr=nbr,
+                nbr=nbr, dt_seq=dt_seq,
             )
         n_overflow = n_overflow + n_list_overflow
     elif cfg.dem.shear_history:
-        pos, vel, angvel, n_overflow, sh = dem_fn(ps, hydro, dt_dem)
+        # dt_seq only when dynamic (custom dem_fn closures keep the
+        # 3-argument signature otherwise)
+        if dt_seq is not None:
+            pos, vel, angvel, n_overflow, sh = dem_fn(ps, hydro, dt_dem,
+                                                      dt_seq)
+        else:
+            pos, vel, angvel, n_overflow, sh = dem_fn(ps, hydro, dt_dem)
         ps = ps._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                          shear_wall=sh.xi_wall)
+    elif dt_seq is not None:
+        pos, vel, angvel, n_overflow = dem_fn(ps, hydro, dt_dem, dt_seq)
     else:
         pos, vel, angvel, n_overflow = dem_fn(ps, hydro, dt_dem)
     ps = ps._replace(pos=pos, vel=vel, angvel=angvel)
@@ -416,6 +448,7 @@ def coupled_step(
         n_coupling_overflow=ctx.sum(jnp.asarray(cres.n_overflow, jnp.int32)),
         # migration/ghost buffer overflows; filled in by the sharded body
         n_shard_overflow=jnp.int32(0),
+        n_dem_sub=n_eff,
     )
 
     new_state = SimState(

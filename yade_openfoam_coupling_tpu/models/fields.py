@@ -122,6 +122,10 @@ class StepDiagnostics(NamedTuple):
     n_contact_overflow: jnp.ndarray  # DEM neighbor-list capacity drops (0 = exact)
     n_coupling_overflow: jnp.ndarray  # slot-exchange capacity drops (0 = exact)
     n_shard_overflow: jnp.ndarray    # particle migration/ghost buffer drops
+    # effective DEM substep count this step: ceil(dt/dt_crit) under
+    # DEMConfig.dynamic_substeps, the static n_dem_substeps otherwise
+    # (the observable of the reference's exchangeDT negotiation)
+    n_dem_sub: jnp.ndarray
 
 
 def make_fluid_state(grid: Grid, dtype=jnp.float32) -> FluidState:

@@ -169,6 +169,22 @@ class DEMConfig:
     # cases with adaptive dt, or raise n_dem_substeps. Only active with
     # TimeControls.adjust_time_step.
     enforce_critical_dt: bool = False
+    # Dynamic DEM sub-step COUNT (true exchangeDT parity): each fluid step
+    # runs n_eff = ceil(dt_fluid / dt_crit) substeps of dt_fluid / n_eff,
+    # with dt_crit the Rayleigh bound from the current radii
+    # (`critical_dt_dynamic`) — the in-graph analog of the reference's dt
+    # negotiation, where Yade runs ceil(dt_fluid/dt_DEM) substeps of its
+    # own stable dt (/root/reference/FoamYade/FoamYade.C:537-553).
+    # `CaseConfig.n_dem_substeps` becomes the STATIC MAX of the scan;
+    # iterations beyond n_eff run with a zero per-substep dt (exact no-ops
+    # for velocity Verlet — position/velocity untouched — though they
+    # still pay their force evaluation, so size the max to the stiff
+    # regime, not far above it). Under adaptive time stepping the fluid dt
+    # is additionally clamped to n_dem_substeps * dt_crit as a backstop
+    # (the only case where the fluid is throttled — contrast
+    # `enforce_critical_dt`, which throttles the fluid for ANY
+    # dt > n_sub * dt_crit instead of raising the substep count).
+    dynamic_substeps: bool = False
     # Cundall non-viscous damping (Yade NewtonIntegrator::damping, default
     # 0.2 there): per component, forces that increase |velocity| are
     # reduced by this factor and forces that decrease it amplified —
@@ -914,6 +930,7 @@ def dem_substeps(
     pid: Optional[jnp.ndarray] = None,
     nbr: Optional[jnp.ndarray] = None,
     carried: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    dt_seq: Optional[jnp.ndarray] = None,
 ):
     """Advance the DEM state n_sub leapfrog substeps under constant hydro
     force — the Yade-side loop of the coupling (SURVEY.md §3.4 item 5:
@@ -930,7 +947,13 @@ def dem_substeps(
 
     With ``cfg.carry_contact`` the return gains (contact_f, contact_t) —
     the contact force/torque of the LAST substep evaluation, valid as the
-    ``carried`` input of the next call (see DEMConfig.carry_contact)."""
+    ``carried`` input of the next call (see DEMConfig.carry_contact).
+
+    ``dt_seq`` (shape (n_sub,)) supplies a PER-SUBSTEP dt overriding the
+    scalar ``dt_dem`` — the dynamic-substep path
+    (DEMConfig.dynamic_substeps) passes dt/n_eff for the first n_eff
+    entries and 0 for the masked tail (a zero-dt velocity-Verlet substep
+    leaves pos/vel/angvel bit-identical)."""
     p = cfg.params
     m = particle_mass(radius, p.rho_p)
     inertia = particle_inertia(radius, p.rho_p)
@@ -971,22 +994,23 @@ def dem_substeps(
         return accel
 
     def substep_body(accel):
-        def body(state, _):
+        def body(state, dt_x):
             # velocity Verlet with the acceleration carried across steps:
             # a2 of step k is a1 of step k+1, so force evaluation happens
             # ONCE per substep
+            dt_ = dt_dem if dt_x is None else dt_x
             pos, vel, angvel, a, aw = state
-            vel_h = vel + 0.5 * dt_dem * a
-            angvel_h = angvel + 0.5 * dt_dem * aw
-            pos_n = pos + dt_dem * vel_h
+            vel_h = vel + 0.5 * dt_ * a
+            angvel_h = angvel + 0.5 * dt_ * aw
+            pos_n = pos + dt_ * vel_h
             # wrap periodic axes
             lo = jnp.asarray(grid.origin, pos.dtype)
             L = jnp.asarray(grid.lengths, pos.dtype)
             per = jnp.asarray(cfg.periodic)
             pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
             a2, aw2 = accel(pos_n, vel_h, angvel_h)
-            vel_n = vel_h + 0.5 * dt_dem * a2
-            angvel_n = angvel_h + 0.5 * dt_dem * aw2
+            vel_n = vel_h + 0.5 * dt_ * a2
+            angvel_n = angvel_h + 0.5 * dt_ * aw2
             return (pos_n, vel_n, angvel_n, a2, aw2), None
         return body
 
@@ -998,6 +1022,8 @@ def dem_substeps(
     every = min(every, n_sub)
     n_chunks, rem = divmod(n_sub, every)
     assert rem == 0, f"n_sub={n_sub} not divisible by list_rebuild_every={every}"
+    # per-substep dt rows for the chunk scans (None = closure scalar dt_dem)
+    dt_rows = None if dt_seq is None else jnp.reshape(dt_seq, (n_chunks, every))
 
     if cfg.shear_history:
         assert use_list and cfg.contact_mode == "substep", (
@@ -1013,7 +1039,7 @@ def dem_substeps(
             t = damp(tc + tw + hydro.torque, ang_)
             return f * inv_m, t * inv_I, xi2, xw2
 
-        def chunk_h(state, _):
+        def chunk_h(state, dt_row):
             pos, vel, angvel, sh = state
             if nbr is not None:
                 nbr_c, overflow = nbr, jnp.int32(0)
@@ -1027,28 +1053,36 @@ def dem_substeps(
             # dt=0: force at the current state, springs projected only
             a0, aw0, xi, xw = eval_h(nbr_c, pos, vel, angvel, xi, xw, 0.0)
 
-            def body(st, _):
+            def body(st, dt_x):
+                dt_ = dt_dem if dt_x is None else dt_x
                 pos, vel, angvel, a, aw, xi, xw = st
-                vel_h = vel + 0.5 * dt_dem * a
-                angvel_h = angvel + 0.5 * dt_dem * aw
-                pos_n = pos + dt_dem * vel_h
+                vel_h = vel + 0.5 * dt_ * a
+                angvel_h = angvel + 0.5 * dt_ * aw
+                pos_n = pos + dt_ * vel_h
                 lo = jnp.asarray(grid.origin, pos.dtype)
                 L = jnp.asarray(grid.lengths, pos.dtype)
                 per = jnp.asarray(cfg.periodic)
                 pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
                 a2, aw2, xi2, xw2 = eval_h(nbr_c, pos_n, vel_h, angvel_h, xi,
-                                           xw, dt_dem)
-                vel_n = vel_h + 0.5 * dt_dem * a2
-                angvel_n = angvel_h + 0.5 * dt_dem * aw2
+                                           xw, dt_)
+                if dt_x is not None:
+                    # masked substep: freeze the shear springs (a zero-dt
+                    # evaluation at the final velocity could re-project /
+                    # re-cap them differently from the last live one)
+                    live = dt_ > 0
+                    xi2 = jnp.where(live, xi2, xi)
+                    xw2 = jnp.where(live, xw2, xw)
+                vel_n = vel_h + 0.5 * dt_ * a2
+                angvel_n = angvel_h + 0.5 * dt_ * aw2
                 return (pos_n, vel_n, angvel_n, a2, aw2, xi2, xw2), None
 
             (pos, vel, angvel, _, _, xi, xw), _ = jax.lax.scan(
-                body, (pos, vel, angvel, a0, aw0, xi, xw), None, length=every
+                body, (pos, vel, angvel, a0, aw0, xi, xw), dt_row, length=every
             )
             return (pos, vel, angvel, ShearState(xi, keys, xw)), overflow
 
         (pos, vel, angvel, shear), overflows = jax.lax.scan(
-            chunk_h, (pos, vel, angvel, shear), None, length=n_chunks
+            chunk_h, (pos, vel, angvel, shear), dt_rows, length=n_chunks
         )
         return pos, vel, angvel, jnp.max(overflows), shear
 
@@ -1060,7 +1094,7 @@ def dem_substeps(
                                     cfg, r_max, nbr_c)
             return fc, tc
 
-        def chunk_c(state, _):
+        def chunk_c(state, dt_row):
             pos, vel, angvel, fc, tc = state
             if nbr is not None:
                 nbr_c, overflow = nbr, jnp.int32(0)
@@ -1074,24 +1108,34 @@ def dem_substeps(
             a0 = damp(fc + f_grav + hydro.force, vel) * inv_m
             aw0 = damp(tc + hydro.torque, angvel) * inv_I
 
-            def body(st, _):
+            def body(st, dt_x):
+                dt_ = dt_dem if dt_x is None else dt_x
                 pos, vel, angvel, a, aw, fc, tc = st
-                vel_h = vel + 0.5 * dt_dem * a
-                angvel_h = angvel + 0.5 * dt_dem * aw
-                pos_n = pos + dt_dem * vel_h
+                vel_h = vel + 0.5 * dt_ * a
+                angvel_h = angvel + 0.5 * dt_ * aw
+                pos_n = pos + dt_ * vel_h
                 lo = jnp.asarray(grid.origin, pos.dtype)
                 L = jnp.asarray(grid.lengths, pos.dtype)
                 per = jnp.asarray(cfg.periodic)
                 pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
                 fc2, tc2 = contact_eval(nbr_c, pos_n, vel_h, angvel_h)
+                if dt_x is not None:
+                    # masked (zero-dt) substep: the half-step velocity here
+                    # is the FULL final velocity, so a fresh evaluation
+                    # would shift the velocity-dependent (dashpot) part of
+                    # the carried force — keep the last live evaluation so
+                    # the carry stays bit-equal to the static-substep run
+                    live = dt_ > 0
+                    fc2 = jnp.where(live, fc2, fc)
+                    tc2 = jnp.where(live, tc2, tc)
                 a2 = damp(fc2 + f_grav + hydro.force, vel_h) * inv_m
                 aw2 = damp(tc2 + hydro.torque, angvel_h) * inv_I
-                vel_n = vel_h + 0.5 * dt_dem * a2
-                angvel_n = angvel_h + 0.5 * dt_dem * aw2
+                vel_n = vel_h + 0.5 * dt_ * a2
+                angvel_n = angvel_h + 0.5 * dt_ * aw2
                 return (pos_n, vel_n, angvel_n, a2, aw2, fc2, tc2), None
 
             (pos, vel, angvel, _, _, fc, tc), _ = jax.lax.scan(
-                body, (pos, vel, angvel, a0, aw0, fc, tc), None, length=every
+                body, (pos, vel, angvel, a0, aw0, fc, tc), dt_row, length=every
             )
             return (pos, vel, angvel, fc, tc), overflow
 
@@ -1103,11 +1147,11 @@ def dem_substeps(
                 nbr0 = build_neighbor_list(pos, active, grid, cfg, r_max)
             fc0, tc0 = contact_eval(nbr0, pos, vel, angvel)
         (pos, vel, angvel, fc, tc), overflows = jax.lax.scan(
-            chunk_c, (pos, vel, angvel, fc0, tc0), None, length=n_chunks
+            chunk_c, (pos, vel, angvel, fc0, tc0), dt_rows, length=n_chunks
         )
         return pos, vel, angvel, jnp.max(overflows), fc, tc
 
-    def chunk(state, _):
+    def chunk(state, dt_row):
         pos, vel, angvel = state
         if nbr is not None:
             nbr_c, overflow = nbr, jnp.int32(0)
@@ -1120,12 +1164,13 @@ def dem_substeps(
         accel = make_accel(nbr_c, pos, vel, angvel)
         a0, aw0 = accel(pos, vel, angvel)
         (pos, vel, angvel, _, _), _ = jax.lax.scan(
-            substep_body(accel), (pos, vel, angvel, a0, aw0), None, length=every
+            substep_body(accel), (pos, vel, angvel, a0, aw0), dt_row,
+            length=every
         )
         return (pos, vel, angvel), overflow
 
     (pos, vel, angvel), overflows = jax.lax.scan(
-        chunk, (pos, vel, angvel), None, length=n_chunks
+        chunk, (pos, vel, angvel), dt_rows, length=n_chunks
     )
     return pos, vel, angvel, jnp.max(overflows)
 

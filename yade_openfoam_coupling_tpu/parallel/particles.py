@@ -258,11 +258,17 @@ def dem_substeps_sharded(
     geom: SlabGeom,
     K_ghost: int,
     shear=None,                 # Optional[demod.ShearState]: pid-keyed history
+    dt_seq=None,                # per-substep dt (DEMConfig.dynamic_substeps)
 ):
     """Velocity-Verlet substeps on the local slot array with per-substep
     ghost refresh — the sharded counterpart of `dem.dem_substeps` (exactly
     equal trajectories; see module docstring). Returns
-    (pos, vel, angvel, n_list_overflow, n_ghost_overflow)."""
+    (pos, vel, angvel, n_list_overflow, n_ghost_overflow).
+
+    ``dt_seq`` overrides the scalar ``dt_dem`` with a (n_sub,) per-substep
+    dt — zero entries are exact velocity-Verlet no-ops (the masked tail of
+    the dynamic-substep path). Must be REPLICATED across shards (it is
+    derived from a ctx.min-reduced critical dt in `coupled_step`)."""
     pos, vel, angvel = ps.pos, ps.vel, ps.angvel
     radius, active = ps.radius, ps.active
     N = pos.shape[0]
@@ -370,23 +376,31 @@ def dem_substeps_sharded(
 
         a0, aw0, xi0, xw0 = eval_h(apos, avel, aang, xi0, xw0, 0.0)
 
-        def body_h(state, _):
+        def body_h(state, dt_x):
+            dt_ = dt_dem if dt_x is None else dt_x
             pos, vel, angvel, a, aw, xi, xw = state
-            vel_h = vel + 0.5 * dt_dem * a
-            angvel_h = angvel + 0.5 * dt_dem * aw
-            pos_n = pos + dt_dem * vel_h
+            vel_h = vel + 0.5 * dt_ * a
+            angvel_h = angvel + 0.5 * dt_ * aw
+            pos_n = pos + dt_ * vel_h
             lo = jnp.asarray(grid.origin, pos.dtype)
             L = jnp.asarray(grid.lengths, pos.dtype)
             per = jnp.asarray(cfg.periodic)
             pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
             apos, avel, aang, _, _ = all_state(pos_n, vel_h, angvel_h)
-            a2, aw2, xi2, xw2 = eval_h(apos, avel, aang, xi, xw, dt_dem)
-            vel_n = vel_h + 0.5 * dt_dem * a2
-            angvel_n = angvel_h + 0.5 * dt_dem * aw2
+            a2, aw2, xi2, xw2 = eval_h(apos, avel, aang, xi, xw, dt_)
+            if dt_x is not None:
+                # masked substep: freeze the shear springs (see
+                # ops/dem.py dt_seq handling)
+                live = dt_ > 0
+                xi2 = jnp.where(live, xi2, xi)
+                xw2 = jnp.where(live, xw2, xw)
+            vel_n = vel_h + 0.5 * dt_ * a2
+            angvel_n = angvel_h + 0.5 * dt_ * aw2
             return (pos_n, vel_n, angvel_n, a2, aw2, xi2, xw2), None
 
         (pos, vel, angvel, _, _, xi, xw), _ = lax.scan(
-            body_h, (pos, vel, angvel, a0, aw0, xi0, xw0), None, length=n_sub
+            body_h, (pos, vel, angvel, a0, aw0, xi0, xw0), dt_seq,
+            length=n_sub
         )
         n_ghost_over = plan.n_overflow if use_ghosts else jnp.int32(0)
         return (pos, vel, angvel, n_list_over, n_ghost_over,
@@ -410,23 +424,24 @@ def dem_substeps_sharded(
 
     a0, aw0 = accel(apos, avel, aang)
 
-    def body(state, _):
+    def body(state, dt_x):
+        dt_ = dt_dem if dt_x is None else dt_x
         pos, vel, angvel, a, aw = state
-        vel_h = vel + 0.5 * dt_dem * a
-        angvel_h = angvel + 0.5 * dt_dem * aw
-        pos_n = pos + dt_dem * vel_h
+        vel_h = vel + 0.5 * dt_ * a
+        angvel_h = angvel + 0.5 * dt_ * aw
+        pos_n = pos + dt_ * vel_h
         lo = jnp.asarray(grid.origin, pos.dtype)
         L = jnp.asarray(grid.lengths, pos.dtype)
         per = jnp.asarray(cfg.periodic)
         pos_n = jnp.where(per, lo + jnp.mod(pos_n - lo, L), pos_n)
         apos, avel, aang, _, _ = all_state(pos_n, vel_h, angvel_h)
         a2, aw2 = accel(apos, avel, aang)
-        vel_n = vel_h + 0.5 * dt_dem * a2
-        angvel_n = angvel_h + 0.5 * dt_dem * aw2
+        vel_n = vel_h + 0.5 * dt_ * a2
+        angvel_n = angvel_h + 0.5 * dt_ * aw2
         return (pos_n, vel_n, angvel_n, a2, aw2), None
 
     (pos, vel, angvel, _, _), _ = lax.scan(
-        body, (pos, vel, angvel, a0, aw0), None, length=n_sub
+        body, (pos, vel, angvel, a0, aw0), dt_seq, length=n_sub
     )
     n_ghost_over = plan.n_overflow if use_ghosts else jnp.int32(0)
     return pos, vel, angvel, n_list_over, n_ghost_over

@@ -600,23 +600,23 @@ def _make_dem_fn(cfg: cd.CaseConfig, geom):
         "ghosts per substep, so the carried force would be misaligned "
         "(and the saved evaluation is re-done by the ghost refresh anyway)")
     if cfg.dem.shear_history:
-        def dem_fn(ps, hydro, dt_dem):
+        def dem_fn(ps, hydro, dt_dem, dt_seq=None):
             n_loc_cap = ps.pos.shape[0]
             K_g = max(16, n_loc_cap // 2)
             sh = demod_shear(ps)
             pos, vel, angvel, n_list, n_ghost, sh2 = pp.dem_substeps_sharded(
                 ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
-                cfg.r_max, geom, K_g, shear=sh,
+                cfg.r_max, geom, K_g, shear=sh, dt_seq=dt_seq,
             )
             return pos, vel, angvel, n_list + n_ghost, sh2
         return dem_fn
 
-    def dem_fn(ps, hydro, dt_dem):
+    def dem_fn(ps, hydro, dt_dem, dt_seq=None):
         n_loc_cap = ps.pos.shape[0]
         K_g = max(16, n_loc_cap // 2)
         pos, vel, angvel, n_list, n_ghost = pp.dem_substeps_sharded(
             ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
-            cfg.r_max, geom, K_g,
+            cfg.r_max, geom, K_g, dt_seq=dt_seq,
         )
         return pos, vel, angvel, n_list + n_ghost
 
