@@ -68,6 +68,31 @@ class PIMPLEConfig:
     # by coupled_step). 0 = start from p, the OpenFOAM behavior. Only the
     # initial guess changes; the converged solution does not.
     p_extrapolate: float = 0.0
+    # IMPLICIT momentum diffusion (the reference's `fvm::laplacian(nuEff,U)`
+    # inside an implicit momentum solve, UcEqn.H:6): solve a per-component
+    # Helmholtz system  (alpha/dt - Sp)*u - div(alpha*nu_eff grad u) = H
+    # instead of deferring the viscous Laplacian explicitly. Removes the
+    # explicit-diffusion dt cap h^2/(6 nu_eff) (`coupled_step` skips
+    # `diffusive_dt_bound`), so high-nu / strongly turbulent cases step at
+    # the Courant limit like the reference. Requires full_stress=False:
+    # the dev2-transpose term is itself a nu_eff-scaled EXPLICIT operator
+    # (OpenFOAM keeps it explicit too) and measured unstable beyond ~2-3x
+    # the explicit bound on this collocated discretization — even under
+    # over-implicit deferred correction (doubled implicit Laplacian;
+    # tried, the wide-stencil grad∘div spectrum defeats it) — so running
+    # it would silently re-impose the cap this feature removes.
+    # Documented divergence: dev2 matters where grad(alpha nu_eff) is
+    # strong (dense beds); those cases keep the explicit path. HbyA
+    # becomes u* - rAU*F_old (the matrix-free H()/A() identity, with the
+    # reconstructed force on the predictor RHS as in OpenFOAM's
+    # `solve(UcEqn == fvc::reconstruct(...))`). Costs 3 Jacobi-PCG solves
+    # per outer iteration; off by default (the bench's explicit path is
+    # cheaper at its nu).
+    implicit_diffusion: bool = False
+    # solver controls for the Helmholtz momentum solves (`solver` ignored:
+    # always Jacobi-PCG — see ops.pressure.solve_helmholtz)
+    momentum: pr.PressureSolverConfig = pr.PressureSolverConfig(
+        solver="pcg", tol=1e-6, maxiter=100)
 
 
 _NEU = FieldBC.uniform("neumann")
@@ -90,6 +115,10 @@ def pimple_step(
     `pimpleFoamYade.C:78-91`)."""
     from ..parallel.ctx import LOCAL, LocalCtx
     ctx = ctx if ctx is not None else LOCAL
+    assert not (cfg.implicit_diffusion and cfg.full_stress), (
+        "implicit_diffusion requires full_stress=False: the explicit "
+        "dev2-transpose term re-imposes the diffusion dt cap "
+        "(PIMPLEConfig.implicit_diffusion docs)")
     alpha = fs.alpha
     alpha_old = fs.alpha_old
     alpha_f = st.face_interp_all_padded(ctx.pad_s(alpha, _NEU))  # alphacf
@@ -115,9 +144,13 @@ def pimple_step(
         final = _outer == cfg.n_outer - 1
         up = ctx.pad_v(u, bcs.u)
         conv = st.div_phi_vector_padded(phi_alpha, up, grid, cfg.convection_scheme)
-        visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
+        if cfg.implicit_diffusion:
+            visc = jnp.zeros_like(u)   # the Laplacian moves into the matrix
+        else:
+            visc = st.laplacian_gamma_vector_padded(gamma_visc, up, grid)
         if cfg.full_stress:
-            # the dev2(T(grad U)) half of divDevRhoReff (UcEqn.H:6)
+            # the dev2(T(grad U)) half of divDevRhoReff (UcEqn.H:6) —
+            # explicit in OpenFOAM too
             G = st.grad_vector_padded(up, grid)
             C = st.dev2_transpose_stress(G, alpha * nu_eff)
             visc = visc + st.div_tensor(C, grid, lambda f: ctx.pad_s(f, _NEU))
@@ -130,14 +163,25 @@ def pimple_step(
         # unstable for diffusion.
         A = alpha / dt - sp_cont - fs.u_source_drag
         H = alpha_old * fs.u / dt - conv + visc
-        if cfg.relax_u < 1.0 and not final:
-            # UcEqn.relax(): inflate the diagonal, anchor the extra source
-            # at the current outer iterate (fixed points unchanged)
-            lam = cfg.relax_u
-            H = H + ((1.0 - lam) / lam) * A[None] * u
-            A = A / lam
-        rAU = 1.0 / A
-        HbyA = rAU[None] * H
+        if cfg.implicit_diffusion:
+            # full diagonal incl. the (interior-stencil) Laplacian rows
+            mgrid_u = Grid(tuple(alpha.shape), grid.spacing, grid.origin)
+            D = A - pr.poisson_diag(gamma_visc, mgrid_u, None)
+            if cfg.relax_u < 1.0 and not final:
+                lam = cfg.relax_u
+                H = H + ((1.0 - lam) / lam) * D[None] * u
+                A = A + ((1.0 - lam) / lam) * D
+                D = D / lam
+            rAU = 1.0 / D
+        else:
+            if cfg.relax_u < 1.0 and not final:
+                # UcEqn.relax(): inflate the diagonal, anchor the extra
+                # source at the current outer iterate (fixed points
+                # unchanged)
+                lam = cfg.relax_u
+                H = H + ((1.0 - lam) / lam) * A[None] * u
+                A = A / lam
+            rAU = 1.0 / A
         rAU_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))  # rAUcf ("Dp")
 
         # phicForces (UcEqn.H:17-20): body-force face flux
@@ -145,6 +189,38 @@ def pimple_step(
         phic_forces = tuple(
             force_flux[a] + rAU_f[a] * g[a] for a in range(3)
         )
+
+        if cfg.implicit_diffusion:
+            # The predictor must SEE the current pressure/body forces
+            # (OpenFOAM solves `UcEqn == fvc::reconstruct(phicForces/rAUcf
+            # - snGrad(p))`, UcEqn.H:23-31): with rAU = 1/D and diffusion
+            # inside the matrix, a force-free predictor would leave the
+            # steady balance scaled by A/D. Solve with the reconstructed
+            # force at the CURRENT p on the RHS, then subtract its rAU
+            # image from HbyA — the corrector re-adds it at the NEW p, so
+            # the force telescopes exactly (HbyA = u* - rAU*F_old, the
+            # matrix-free H()/A() identity).
+            snp0 = st.face_grad_padded(ctx.pad_s(p, bcs.p), grid)
+            rec_F = st.reconstruct(tuple(
+                phic_forces[a] / rAU_f[a] - snp0[a] for a in range(3)))
+            comps = []
+            for c in range(3):
+                bc_c = bcs.u.component(c)
+                pbc_c = None
+                if not isinstance(ctx, LocalCtx):
+                    pbc_c = _precond_bc_for(bc_c, ctx)
+                res_c = pr.solve_helmholtz(
+                    A, gamma_visc, H[c] + rec_F[c], u[c], grid, bc_c,
+                    cfg.momentum,
+                    pad=lambda f, _bc=bc_c: ctx.pad_s(f, _bc),
+                    reduce_sum=ctx.sum,
+                    precond_bc=pbc_c,
+                )
+                comps.append(res_c.x)
+            u = jnp.stack(comps)                   # the momentum predictor
+            HbyA = u - rAU[None] * rec_F
+        else:
+            HbyA = rAU[None] * H
 
         if cfg.momentum_predictor:
             snp = st.face_grad_padded(ctx.pad_s(p, bcs.p), grid)

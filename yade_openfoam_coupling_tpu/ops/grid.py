@@ -98,6 +98,27 @@ class FieldBC:
             tuple(FaceBC(f.kind, 0.0) for f in pair) for pair in self.faces
         ))
 
+    def component(self, c: int) -> "FieldBC":
+        """The SCALAR BC seen by component `c` of a vector field under this
+        vector BC — exactly what `pad_vector` applies per component: SLIP
+        becomes Dirichlet-0 for the face-normal component and Neumann for
+        tangential ones; Dirichlet takes its per-component value. Lets the
+        per-component momentum (Helmholtz) solves reuse the scalar
+        pad/diag machinery."""
+        rows = []
+        for axis in range(3):
+            pair = []
+            for f in self.faces[axis]:
+                if f.kind == SLIP:
+                    pair.append(FaceBC(DIRICHLET, 0.0) if c == axis
+                                else FaceBC(NEUMANN, 0.0))
+                elif f.kind == DIRICHLET:
+                    pair.append(FaceBC(DIRICHLET, f.component(c)))
+                else:
+                    pair.append(FaceBC(f.kind, 0.0))
+            rows.append(tuple(pair))
+        return FieldBC(tuple(rows))
+
 
 # No-slip box / channel presets used by the solvers.
 def noslip_box_U() -> FieldBC:
