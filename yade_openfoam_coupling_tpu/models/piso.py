@@ -76,6 +76,20 @@ class PISOConfig:
     momentum_predictor: bool = True
     convection_scheme: str = "linear"   # fvSchemes div(phi,U)
     pressure: pr.PressureSolverConfig = pr.PressureSolverConfig()
+    # fvc::ddtCorr(U, phi) (`icoFoamYade.C:105`): Rhie-Chow temporal flux
+    # history — phiHbyA gains rAU_f * c_f * (phi^n - flux(U^n))/dt with
+    # the OpenFOAM Euler-scheme limiter
+    # c_f = 1 - min(|phi^n - flux(U^n)| / (|phi^n| + eps), 1), making the
+    # face flux carry its own old-time term instead of interp(U^n).
+    # MEASURED (tests/test_ddtcorr.py, VERDICT r3 item 9): our phiHbyA is
+    # rebuilt from HbyA every corrector, so a face/cell inconsistency
+    # vanishes in one step WITHOUT the term (mismatch 245 -> 1e-3 in 10
+    # steps), while WITH it the history is deliberately retained
+    # (-> 14.4) and Taylor-Green rms error at Co~0.8 grows 1.6e-3 ->
+    # 1.5e-2 (the retained O(h^2) Rhie-Chow offset feeds back). Decision:
+    # available for reference-exact assembly, default OFF — the rebuilt
+    # flux subsumes the consistency role, measurably better.
+    ddt_corr: bool = False
 
 
 class PressureSolveInfo(NamedTuple):
@@ -156,6 +170,18 @@ def piso_step(
         # block-local (additive-Schwarz) preconditioning: homogeneous BCs
         # with Dirichlet-0 on sharded-axis faces (shard-internal edges)
         precond_bc = _precond_bc_for(bcs.p, ctx)
+    if cfg.ddt_corr:
+        # old-time face/cell flux inconsistency + OpenFOAM's limiter
+        # (PISOConfig.ddt_corr; both at time level n, fixed across
+        # correctors as in EulerDdtScheme::fvcDdtPhiCorr)
+        flux_uo = st.flux_padded(ctx.pad_v(fs.u, bcs.u), grid)
+        dphi = tuple(fs.phi[a] - flux_uo[a] for a in range(3))
+        ddtc = tuple(
+            (1.0 - jnp.minimum(
+                jnp.abs(dphi[a]) / (jnp.abs(fs.phi[a]) + 1e-30), 1.0))
+            * dphi[a] / dt
+            for a in range(3)
+        )
     for _ in range(cfg.n_correctors):
         # recompute H with the latest U (Picard step, plays the role of
         # OpenFOAM's updated UEqn.H() between correctors)
@@ -163,9 +189,12 @@ def piso_step(
         rAU = 1.0 / A
         HbyA = rAU[None] * H
 
-        phiHbyA = st.constrain_flux(
-            st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid), bcs.u, ctx
-        )
+        phiHbyA = st.flux_padded(ctx.pad_v(HbyA, bcs.u), grid)
+        if cfg.ddt_corr:
+            rAU_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))
+            phiHbyA = tuple(
+                phiHbyA[a] + rAU_f[a] * ddtc[a] for a in range(3))
+        phiHbyA = st.constrain_flux(phiHbyA, bcs.u, ctx)
         if _needs_adjust_phi(bcs):
             # inlet/outflow global mass balance (adjustPhi, icoFoamYade.C:108)
             phiHbyA = st.adjust_phi(phiHbyA, bcs.u, grid, ctx, ctx.sum)
