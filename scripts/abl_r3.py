@@ -36,7 +36,8 @@ def main():
                  pre=2, post=2, levels=0, coarse=20, K=0, shear=False,
                  sampled=False, refined=0, sfetch=False, carry=False,
                  pbin="", dyk=False, fixed=0, cap=4, punbin=False,
-                 smoother="jacobi", turb="kEqn"):
+                 smoother="jacobi", turb="kEqn", psolver="mgpcg",
+                 ncorr=1):
         return cd.CaseConfig(
             grid=grid, bcs=FluidBCs.channel_z(),
             transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0,
@@ -58,9 +59,9 @@ def main():
                 carry_contact=carry,
             ),
             pimple=PIMPLEConfig(
-                n_outer=1, n_correctors=1, p_extrapolate=extrap,
+                n_outer=1, n_correctors=ncorr, p_extrapolate=extrap,
                 pressure=pr.PressureSolverConfig(
-                    solver="mgpcg", tol=1e-5, maxiter=40, fixed_iters=fixed,
+                    solver=psolver, tol=1e-5, maxiter=40, fixed_iters=fixed,
                     mg=pr.MGConfig(bf16=bf16, pre_smooth=pre,
                                    post_smooth=post, levels=levels,
                                    coarse_iters=coarse, smoother=smoother)),
@@ -231,6 +232,29 @@ def main():
                 make_cfg(True, True, pre=3, post=3, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True, dyk=True,
                          smoother="chebyshev", punbin=True))
+    if sel is None or "FS" in (sel or []):
+        # BW + spectral (matmul-DCT/FFT) preconditioner: the exact
+        # mean-coefficient inverse as 6 dense MXU matmuls per application
+        # (ops/pressure.make_spectral_preconditioner) — expected to cut
+        # both iteration count and per-iteration preconditioner cost
+        measure("FS BW + fftpcg spectral precond",
+                make_cfg(True, True, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         psolver="fftpcg"))
+    if sel is None or "F2" in (sel or []):
+        # corrector-honesty row (VERDICT r3 item 8): reference-like
+        # 2-corrector PIMPLE loop on the BW config
+        measure("F2 BW + n_correctors=2",
+                make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         ncorr=2))
+    if sel is None or "F3" in (sel or []):
+        # fftpcg + 2 correctors: does the cheap solve make the honest
+        # 2-corrector loop affordable?
+        measure("F3 fftpcg + n_correctors=2",
+                make_cfg(True, True, K=10, refined=4,
+                         sfetch=True, pbin="col", carry=True, dyk=True,
+                         psolver="fftpcg", ncorr=2))
     if sel is None or "NT" in (sel or []):
         # turbulence cost probe: BW config with the laminar closure (the
         # kEqn transport's in-context cost has not been measured since

@@ -110,11 +110,19 @@ def main():
     dt_wall = (time.perf_counter() - t0) / n_steps
 
     sps = 1.0 / dt_wall
+    # verdict honesty: demonstrate no capacity drops and full location
+    ovf = [int(np.asarray(diags.n_contact_overflow).sum()),
+           int(np.asarray(diags.n_coupling_overflow).sum()),
+           int(np.asarray(diags.n_shard_overflow).sum())]
     print(json.dumps({
         "metric": "coupled steps/sec, 1M 4-way particles, 256^3 grid, 1 chip",
         "value": round(sps, 4),
         "unit": "steps/sec",
         "vs_baseline": round(sps / 50.0, 5),
+        "overflows": ovf,
+        "n_found": int(np.asarray(diags.n_found)[-1]),
+        "p_iters": np.asarray(diags.p_iters).reshape(-1).tolist(),
+        "p_final_residual": float(np.asarray(diags.p_final_residual)[-1]),
     }))
 
 

@@ -144,6 +144,9 @@ def exchange(
             else:
                 from ..ops.coupling_planes import gaussian_coupling_planes
                 fn = gaussian_coupling_planes
+        elif cfg.exchange == "window":
+            from ..ops.coupling_window import gaussian_coupling_window
+            fn = gaussian_coupling_window
         elif cfg.exchange == "slots":
             from ..ops.coupling_slots import gaussian_coupling_slots
             fn = gaussian_coupling_slots

@@ -137,6 +137,11 @@ class CouplingConfig:
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4
+    # 'window' exchange (`ops/coupling_window.py`): static per-x-plane
+    # particle window capacity; 0 = auto (2.5x the uniform mean, 512-lane
+    # rounded). Population beyond it is counted in n_overflow and
+    # uncoupled for the step, like slot_capacity.
+    planes_window: int = 0
 
 
 class ParticleFields(NamedTuple):

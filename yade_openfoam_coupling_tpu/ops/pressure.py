@@ -388,6 +388,118 @@ def make_mg_preconditioner(
 
 
 # ---------------------------------------------------------------------------
+# Spectral (matmul-transform) preconditioner
+# ---------------------------------------------------------------------------
+
+def _spectral_axis_basis(n: int, lo_kind: str, hi_kind: str, h: float):
+    """Orthonormal eigenbasis Q (n, n) and eigenvalues lam (n,) of the 1-D
+    cell-centred second difference (1/h^2)[1, -2, 1] under the ghost-cell
+    BC convention used by `pad_scalar` (periodic wrap; Neumann ghost =
+    interior; homogeneous Dirichlet ghost = -interior).
+
+    All five BC pairs admit closed-form trigonometric bases (the classic
+    DCT/DST family on half-integer nodes):
+      periodic      cos/sin(2*pi*k*j/n)            lam_k = (2cos(2 pi k/n)-2)/h^2
+      Neumann-Neu.  cos(pi*k*(j+.5)/n)   (DCT-II)  lam_k = (2cos(pi k/n)-2)/h^2
+      Dir.-Dir.     sin(pi*(k+1)*(j+.5)/n) (DST-II) lam  = (2cos(pi(k+1)/n)-2)/h^2
+      Neu.-Dir.     cos(pi*(k+.5)*(j+.5)/n)         lam  = (2cos(pi(k+.5)/n)-2)/h^2
+      Dir.-Neu.     sin(pi*(k+.5)*(j+.5)/n)         lam  = same as Neu.-Dir.
+    Built in float64 on the host; returned as float32 arrays."""
+    import numpy as np
+    from .grid import DIRICHLET, NEUMANN, PERIODIC
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(n, dtype=np.float64)
+    periodic = lo_kind == PERIODIC and hi_kind == PERIODIC
+    neu = (NEUMANN,)
+    if periodic:
+        cols = [np.full(n, 1.0 / np.sqrt(n))]
+        lams = [0.0]
+        for kk in range(1, (n - 1) // 2 + 1):
+            t = 2.0 * np.pi * kk * j / n
+            cols.append(np.cos(t) * np.sqrt(2.0 / n))
+            cols.append(np.sin(t) * np.sqrt(2.0 / n))
+            lams += [(2.0 * np.cos(2.0 * np.pi * kk / n) - 2.0) / h**2] * 2
+        if n % 2 == 0:
+            cols.append(np.cos(np.pi * j) / np.sqrt(n))
+            lams.append(-4.0 / h**2)
+        Q = np.stack(cols, axis=1)
+        lam = np.asarray(lams)
+    elif lo_kind in neu and hi_kind in neu:
+        Q = np.cos(np.pi * k[None, :] * (j[:, None] + 0.5) / n)
+        lam = (2.0 * np.cos(np.pi * k / n) - 2.0) / h**2
+    elif lo_kind == DIRICHLET and hi_kind == DIRICHLET:
+        Q = np.sin(np.pi * (k[None, :] + 1.0) * (j[:, None] + 0.5) / n)
+        lam = (2.0 * np.cos(np.pi * (k + 1.0) / n) - 2.0) / h**2
+    elif lo_kind in neu and hi_kind == DIRICHLET:
+        Q = np.cos(np.pi * (k[None, :] + 0.5) * (j[:, None] + 0.5) / n)
+        lam = (2.0 * np.cos(np.pi * (k + 0.5) / n) - 2.0) / h**2
+    elif lo_kind == DIRICHLET and hi_kind in neu:
+        Q = np.sin(np.pi * (k[None, :] + 0.5) * (j[:, None] + 0.5) / n)
+        lam = (2.0 * np.cos(np.pi * (k + 0.5) / n) - 2.0) / h**2
+    else:
+        return None
+    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
+    return Q.astype(np.float32), lam.astype(np.float32)
+
+
+def make_spectral_preconditioner(
+    gamma_f: Flux,
+    grid: Grid,
+    bc: FieldBC,
+    nullspace_eps: float = 1e-12,
+) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """EXACT inverse of the mean-coefficient Poisson operator as six dense
+    transform matmuls + one eigenvalue divide — the TPU-native answer to
+    the reference's GAMG (`fvSolution` in the reference cases): on a
+    uniform grid the eigenbasis of each 1-D second difference is a known
+    trig transform, and at n<=256 a dense (n, n) matmul per axis IS the
+    fast transform on the MXU (6 x ncells*n MACs ~ 3 GFLOP at 128^3 —
+    microseconds of systolic-array time vs the V-cycle's dozen
+    memory-bound smoothing sweeps).
+
+    The pEqn coefficient alpha_f*rAU_f varies a few percent around its
+    mean in dilute suspensions, so M^-1 A = I + O(dgamma/gamma) and PCG
+    converges in a handful of iterations. Returns None when any axis BC
+    pair has no trig eigenbasis (falls back to MG at the call site).
+    """
+    bases = []
+    for axis in range(3):
+        lo, hi = bc.faces[axis]
+        qa = _spectral_axis_basis(grid.shape[axis], lo.kind, hi.kind,
+                                  grid.spacing[axis])
+        if qa is None:
+            return None
+        bases.append(qa)
+
+    gbar = [jnp.mean(gamma_f[a]) for a in range(3)]
+    Qs = [jnp.asarray(Q) for Q, _ in bases]
+    lams = [jnp.asarray(l) for _, l in bases]
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:
+        lam = (gbar[0] * lams[0][:, None, None]
+               + gbar[1] * lams[1][None, :, None]
+               + gbar[2] * lams[2][None, None, :])
+        inv = jnp.where(jnp.abs(lam) < nullspace_eps, 0.0, 1.0 / jnp.where(
+            jnp.abs(lam) < nullspace_eps, 1.0, lam))
+        # forward: coefficients c = Q^T r applied per axis. HIGHEST keeps
+        # the TPU MXU from rounding the transform to bf16 (the cost is a
+        # handful of extra systolic passes over ~3 GFLOP — noise); with
+        # bf16 rounding the "exact" inverse is only ~1e-2 accurate and CG
+        # pays extra iterations.
+        hi = jax.lax.Precision.HIGHEST
+        t = jnp.einsum("ia,iyz->ayz", Qs[0], r, precision=hi)
+        t = jnp.einsum("jb,ajz->abz", Qs[1], t, precision=hi)
+        t = jnp.einsum("kc,abk->abc", Qs[2], t, precision=hi)
+        t = t * inv
+        # inverse: x = Q c
+        t = jnp.einsum("kc,abc->abk", Qs[2], t, precision=hi)
+        t = jnp.einsum("jb,abz->ajz", Qs[1], t, precision=hi)
+        return jnp.einsum("ia,ayz->iyz", Qs[0], t, precision=hi)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
 # High-level pressure solve
 # ---------------------------------------------------------------------------
 
@@ -395,7 +507,7 @@ def make_mg_preconditioner(
 class PressureSolverConfig:
     """Maps the fvSolution `p` sub-dictionary of the reference cases."""
 
-    solver: str = "mgpcg"      # 'pcg' | 'mgpcg'
+    solver: str = "mgpcg"      # 'pcg' | 'mgpcg' | 'fftpcg'
     tol: float = 1e-6          # native relative tolerance (|r| vs max(|r0|,|b|))
     rel_tol: float = 0.0       # OpenFOAM relTol: |r| <= rel_tol*|r0| early exit
     abs_tol: float = 1e-30     # OpenFOAM 'tolerance' (absolute; normFactor
@@ -520,7 +632,12 @@ def solve_pressure(
     # sharded caller homogenize shard-internal edges to Dirichlet-0.
     mg_grid = Grid(tuple(rhs.shape), grid.spacing, grid.origin)
     pbc = precond_bc if precond_bc is not None else hbc
-    if cfg.solver == "mgpcg":
+    if cfg.solver == "fftpcg":
+        M = make_spectral_preconditioner(gamma_f, mg_grid, pbc)
+        if M is None:       # no trig eigenbasis for these BCs: V-cycle
+            M = make_mg_preconditioner(gamma_f, mg_grid, pbc, cfg.mg,
+                                       use_pallas=cfg.use_pallas)
+    elif cfg.solver == "mgpcg":
         M = make_mg_preconditioner(gamma_f, mg_grid, pbc, cfg.mg,
                                    use_pallas=cfg.use_pallas)
     elif cfg.solver == "pcg":
