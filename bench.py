@@ -102,10 +102,14 @@ def main():
             # 2-corrector loop for the PERF.md honesty row
             n_outer=1,
             n_correctors=2 if "--correctors=2" in sys.argv else 1,
-            # 4+4 V-cycle smoothing: steady-state CG iters drop 5 -> 4
-            # (abl X; PERF.md MG scan)
+            # fftpcg: spectral (matmul-DCT/Fourier) preconditioner — the
+            # exact inverse of the mean-coefficient Laplacian. Measured
+            # 35.4 vs 46.3 ms/step against the mgpcg 4+4 control in one
+            # process (PERF.md round-4 batch 2, abl FS): fewer CG iters
+            # (2-3 vs 4-5) AND each application is 6 small MXU matmuls
+            # instead of a V-cycle. mg config kept for the fallback path.
             pressure=pr.PressureSolverConfig(
-                solver="mgpcg", tol=1e-5, maxiter=40,
+                solver="fftpcg", tol=1e-5, maxiter=40,
                 mg=pr.MGConfig(pre_smooth=4, post_smooth=4)),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),

@@ -255,6 +255,27 @@ def main():
                 make_cfg(True, True, K=10, refined=4,
                          sfetch=True, pbin="col", carry=True, dyk=True,
                          psolver="fftpcg", ncorr=2))
+    if sel is None or "WX" in (sel or []):
+        # BW with the window-staged exchange (`ops/coupling_window.py`):
+        # no HBM staging table — sorted per-plane windows + in-kernel
+        # one-hot MXU staging
+        cfgw = make_cfg(True, True, pre=4, post=4, K=10, refined=4,
+                        sfetch=True, carry=True, dyk=True)
+        cfgw = dataclasses.replace(
+            cfgw, coupling=dataclasses.replace(cfgw.coupling,
+                                               exchange="window",
+                                               packed_bin=False))
+        measure("WX BW + window exchange", cfgw)
+    if sel is None or "WF" in (sel or []):
+        # window exchange + spectral preconditioner: the round-4 candidate
+        cfgw = make_cfg(True, True, K=10, refined=4,
+                        sfetch=True, carry=True, dyk=True,
+                        psolver="fftpcg")
+        cfgw = dataclasses.replace(
+            cfgw, coupling=dataclasses.replace(cfgw.coupling,
+                                               exchange="window",
+                                               packed_bin=False))
+        measure("WF window + fftpcg", cfgw)
     if sel is None or "NT" in (sel or []):
         # turbulence cost probe: BW config with the laminar closure (the
         # kEqn transport's in-context cost has not been measured since

@@ -13,12 +13,19 @@ Prints one JSON line like bench.py.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    # --fast: the round-4 candidate pipeline — window-staged exchange
+    # (no staging table, so no slab chunking needed even at 256^3;
+    # packed_unbin keeps the result table at its true 1.07 GB instead of
+    # the 8.6 GB lane-padded transpose) + the spectral pressure
+    # preconditioner.
+    fast = "--fast" in sys.argv
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/yofc_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -47,11 +54,16 @@ def main():
         bcs=FluidBCs.channel_z(),
         transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
         solver="pimple",
-        coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
-                                   stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4,
-                                   planes_chunks=8, packed_bin="col",
-                                   dy_in_kernel=True),
+        coupling=(cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                    stencil_shape="sphere2",
+                                    exchange="window", slot_capacity=4,
+                                    packed_unbin=True, dy_in_kernel=True)
+                  if fast else
+                  cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                                    stencil_shape="sphere2",
+                                    exchange="planes", slot_capacity=4,
+                                    planes_chunks=8, packed_bin="col",
+                                    dy_in_kernel=True)),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -67,7 +79,7 @@ def main():
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
             pressure=pr.PressureSolverConfig(
-                solver="mgpcg", tol=1e-5, maxiter=40,
+                solver="fftpcg" if fast else "mgpcg", tol=1e-5, maxiter=40,
                 mg=pr.MGConfig(pre_smooth=4, post_smooth=4)),
         ),
         turbulence=TurbulenceConfig(model="kEqn"),

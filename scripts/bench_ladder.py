@@ -53,10 +53,12 @@ def main():
         # radius/cell ratio (the tracked 128^3 config is dilute, cap=4)
         coupling=dc.replace(cfg.coupling, lag_alpha=True, exchange="planes",
                             stencil_shape="sphere2", slot_capacity=6,
-                            packed_bin="col", dy_in_kernel=True,
-                            packed_unbin=True),
+                            packed_bin="col", dy_in_kernel=True),
         dem=dc.replace(cfg.dem, list_reuse=True, list_rebuild_steps=10,
                        refined_neighbors=4, carry_contact=True),
+        pimple=dc.replace(
+            cfg.pimple,
+            pressure=dc.replace(cfg.pimple.pressure, solver="fftpcg")),
     )
     state = cd.initialize_state(
         make_fluid_state(cfg.grid),

@@ -379,7 +379,11 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
     """Owner-shard coupling exchange closure for `coupled_step`."""
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
-    if ccfg.gaussian and ccfg.exchange == "planes":
+    if ccfg.gaussian and ccfg.exchange in ("planes", "window"):
+        # 'window' (the single-device in-kernel-staging variant) has no
+        # sharded counterpart yet; per shard the slab population is small
+        # enough that the slot-plane staging scatter is not the bottleneck
+        # — run the physically identical sharded planes machinery.
         return _make_planes_exchange(cfg, ctx, n_loc)
 
     def ex(fs, ps, dt) -> cp.CouplingResult:

@@ -111,8 +111,12 @@ def load_pressure_solver(case: Path) -> pr.PressureSolverConfig:
     d = _read(case, "system/fvSolution")
     p = fd.get(d, "solvers.p", {}) or {}
     solver = str(p.get("solver", "GAMG"))
-    # OpenFOAM GAMG -> our MG-preconditioned CG; PCG -> Jacobi-PCG
-    mapped = "mgpcg" if solver.upper() in ("GAMG", "PCG") and solver.upper() == "GAMG" else "pcg"
+    # OpenFOAM GAMG -> our MG-preconditioned CG; PCG -> Jacobi-PCG.
+    # 'FFTPCG'/'spectral' (no OpenFOAM equivalent — our extension keyword)
+    # -> the spectral transform-preconditioned CG, which itself falls back
+    # to the V-cycle when the BCs admit no trig eigenbasis.
+    mapped = {"GAMG": "mgpcg", "FFTPCG": "fftpcg",
+              "SPECTRAL": "fftpcg"}.get(solver.upper(), "pcg")
     # fvSolution 'tolerance' is ABSOLUTE in OpenFOAM (on a normFactor-scaled
     # residual; we apply it to the plain 2-norm — documented divergence) and
     # 'relTol' is the per-solve |r|/|r0| early exit. Keep the native
