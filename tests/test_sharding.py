@@ -242,6 +242,42 @@ def test_gaussian_planes_sharded_matches_single():
     assert int(d8.n_coupling_overflow[-1]) == 0
 
 
+def test_fftpcg_sharded_matches_single():
+    """Spectral-preconditioned CG under sharding: the preconditioner acts
+    block-locally (additive Schwarz via precond_bc, like the MG V-cycle),
+    so 1-vs-8 runs use DIFFERENT preconditioners but must converge to the
+    same pressure within the CG tolerance. Round-4 flagship solver."""
+    import dataclasses as _dc
+    cfg = _gaussian_cfg()
+    cfg = _dc.replace(
+        cfg,
+        coupling=_dc.replace(cfg.coupling, lag_alpha=True,
+                             exchange="planes", slot_capacity=4,
+                             packed_bin="col", dy_in_kernel=True),
+        pimple=_dc.replace(cfg.pimple, pressure=pr.PressureSolverConfig(
+            solver="fftpcg", tol=1e-7, maxiter=600)),
+    )
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(0.003, 0.013, (24, 3))
+    state = _initial_state(cfg, pos, 4e-4)
+    n = 4
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.p), np.asarray(s1.fluid.p), rtol=1e-3, atol=1e-7,
+    )
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u), rtol=1e-2, atol=1e-5,
+    )
+    assert int(d8.n_found[-1]) == 24
+    assert int(d8.n_coupling_overflow[-1]) == 0
+
+
 def test_shear_history_sharded_matches_single():
     """Pid-keyed shear springs under sharding: migration and ghost
     reshuffles must not orphan contact history (1-vs-8 equivalence)."""
