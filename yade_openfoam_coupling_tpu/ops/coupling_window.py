@@ -131,7 +131,7 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
     dtype = stk_ref.dtype
     W = dat_ref.shape[2]
 
-    dw = dat_ref[:, 0]                                  # (C_w, W)
+    dw = dat_ref[0]                                     # (C_w, W)
     y = dw[2 * C_d]
     z = dw[2 * C_d + 1]
     rank = dw[2 * C_d + 2]
@@ -209,7 +209,10 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
 
 def window_exchange_padded(
     Fp: jnp.ndarray,           # (C_in, nxl+2, ny+2, nz+2) ghost-padded stack
-    dat_win: jnp.ndarray,      # (C_w, nxl, W) per-plane window channels
+    dat_win: jnp.ndarray,      # (nxl, C_w, W) plane-MAJOR window channels
+                               # (Mosaic: the grid-blocked dim must not sit
+                               # in the trailing two; (C_w, W) block == the
+                               # full array dims is the allowed shape)
     grid: Grid,
     periodic: Tuple[bool, bool, bool],
     cfg: cp.CouplingConfig,
@@ -229,7 +232,7 @@ def window_exchange_padded(
     n_combo = len(combos)
     C_out = 8
     C_d = 10 if cfg.use_torque else 7
-    C_w = dat_win.shape[0]
+    C_w = dat_win.shape[1]
     W = dat_win.shape[2]
     n_pres = 7 if cfg.use_torque else 4
 
@@ -248,7 +251,7 @@ def window_exchange_padded(
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
-            pl.BlockSpec((C_w, 1, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, C_w, W), lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((n_combo, C_out, 1, ny, nz),
@@ -338,6 +341,8 @@ def gaussian_coupling_window(
     # clip-duplicated / beyond-count rows match nothing (y = -1)
     ych = 2 * C_d
     dat_win = dat_win.at[ych].set(jnp.where(in_w, dat_win[ych], -1.0))
+    # plane-major layout for the kernel's per-plane block specs
+    dat_win = jnp.transpose(dat_win, (1, 0, 2))         # (nx, C_w, W)
 
     # --- fused kernel + epilogue (planes machinery) ------------------------
     in_fields = [fluid_u, grad_p, div_tau]
