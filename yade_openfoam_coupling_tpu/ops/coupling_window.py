@@ -137,11 +137,15 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
     rank = dw[2 * C_d + 2]
 
     # one-hot placement matrices (0/1: exact in bf16); invalid rows carry
-    # y = -1 and match nothing
-    ohyT = (jax.lax.broadcasted_iota(dtype, (ny, W), 0)
-            == y[None, :]).astype(jnp.bfloat16)         # (ny, W)
-    ohz = (jax.lax.broadcasted_iota(dtype, (W, nz), 1)
-           == z[:, None]).astype(dtype)                 # (W, nz)
+    # y = -1 and match nothing. Mosaic's tpu.iota is integer-only, so the
+    # iotas are int32 and the (exactly integer-valued) f32 coordinate
+    # channels are cast for the comparison.
+    yi = y.astype(jnp.int32)
+    zi = z.astype(jnp.int32)
+    ohyT = (jax.lax.broadcasted_iota(jnp.int32, (ny, W), 0)
+            == yi[None, :]).astype(jnp.bfloat16)        # (ny, W)
+    ohz = (jax.lax.broadcasted_iota(jnp.int32, (W, nz), 1)
+           == zi[:, None]).astype(dtype)                # (W, nz)
 
     # stage: D[c,k] = ohy^T @ ((dat_c * sel_k) ohz), hi + lo exact split
     D = []
