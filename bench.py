@@ -56,16 +56,18 @@ def main():
         solver="pimple",
         # lag_alpha: one-step-lagged alpha_f gather (documented O(dt)
         # approximation) folds the drag's alpha gather into the main pass.
-        # exchange='planes': channel-major slot planes + fused Pallas
-        # interp/deposit kernels (measured 39 vs 63 ms for the sparse row
-        # path at this config; equivalence-tested in tests/test_coupling_planes.py)
-        # packed_bin='col': column-scatter staging (abl V);
+        # exchange='window': sorted per-plane particle windows staged into
+        # slot planes IN VMEM by one-hot MXU matmuls — no HBM staging
+        # table (ops/coupling_window.py). Measured same-process 32.1 vs
+        # 35.0 ms/step for the planes exchange under fftpcg (PERF.md
+        # round-4 batch 3, abl WF vs FS; equivalence-tested in
+        # tests/test_coupling_window.py).
         # dy_in_kernel: 3 per-dx deposit stacks instead of 9 per-(dx,dy),
         # worth ~5.4 ms in the round-3 combo (abl ND vs AL)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4,
-                                   packed_bin="col", dy_in_kernel=True),
+                                   exchange="window", slot_capacity=4,
+                                   dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
