@@ -276,6 +276,26 @@ def main():
                                                exchange="window",
                                                packed_bin=False))
         measure("WF window + fftpcg", cfgw)
+    def _window_cfg(K=10, ncorr=1, W=0):
+        c = make_cfg(True, True, K=K, refined=4, sfetch=True, carry=True,
+                     dyk=True, psolver="fftpcg", ncorr=ncorr)
+        return dataclasses.replace(
+            c, coupling=dataclasses.replace(c.coupling, exchange="window",
+                                            packed_bin=False,
+                                            planes_window=W))
+    if sel is None or "WK" in (sel or []):
+        # WF + K=20 rebuild cadence: halves the amortized Verlet rebuild
+        # (bench.py's 10-step scans pay 22/K ms/step; the 1-vs-k protocol
+        # here hides it — compare via bench.py, this case only checks
+        # staleness ovf stays 0)
+        measure("WK WF + K=20 rebuild", _window_cfg(K=20))
+    if sel is None or "W2" in (sel or []):
+        # corrector honesty at the flipped (window+fftpcg) bench config
+        measure("W2 WF + n_correctors=2", _window_cfg(ncorr=2))
+    if sel is None or "WW" in (sel or []):
+        # static window 1536 (vs auto 2048 = 2.5x mean): 25% less one-hot
+        # MXU staging work; ovf must stay 0 for the cut to be honest
+        measure("WW WF + window=1536", _window_cfg(W=1536))
     if sel is None or "NT" in (sel or []):
         # turbulence cost probe: BW config with the laminar closure (the
         # kEqn transport's in-context cost has not been measured since

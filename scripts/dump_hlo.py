@@ -45,11 +45,11 @@ def main():
         grid=grid, bcs=FluidBCs.channel_z(),
         transport=cd.TransportProperties(nu=1e-6, rho_f=1000.0, rho_p=2500.0),
         solver="pimple",
-        # mirror the tracked bench.py (BW) configuration
+        # mirror the tracked bench.py (round-4 WF) configuration
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4,
-                                   packed_bin="col", dy_in_kernel=True),
+                                   exchange="window", slot_capacity=4,
+                                   dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -61,7 +61,7 @@ def main():
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
             pressure=pr.PressureSolverConfig(
-                solver="mgpcg", tol=1e-5, maxiter=40,
+                solver="fftpcg", tol=1e-5, maxiter=40,
                 mg=pr.MGConfig(pre_smooth=4, post_smooth=4))),
         turbulence=TurbulenceConfig(model="kEqn"),
         gravity_fluid=(0.0, 0.0, -9.81),
