@@ -7,10 +7,13 @@ this catches them in seconds. No TPU execution happens.
 Usage: env PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/lower_window.py
 """
 
+import sys
+
 import numpy as np
 
 
 def main():
+    big = "--big" in sys.argv   # the 256^3/1M north-star shape (W-chunked)
     import jax
     import jax.numpy as jnp
 
@@ -18,7 +21,7 @@ def main():
     from yade_openfoam_coupling_tpu.ops import coupling_window as cw
     from yade_openfoam_coupling_tpu.ops.grid import Grid
 
-    nx, N = 128, 100_000
+    nx, N = (256, 1_000_000) if big else (128, 100_000)
     length = 1e-3 * nx
     grid = Grid.cube(nx, length)
     cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,

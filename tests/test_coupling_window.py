@@ -133,3 +133,37 @@ def test_window_size_auto():
     assert cw.window_size(100_000, 128, 0) == 2048
     assert cw.window_size(100, 128, 0) == 512
     assert cw.window_size(100_000, 128, 777) == 777
+    # above the chunking threshold, requested sizes round up to 512 lanes
+    assert cw.window_size(1_000_000, 256, 10_000) == 10_240
+
+
+def test_window_chunked_staging_matches_unchunked():
+    """The fori_loop W-chunked staging path (the 256^3 VMEM fix) must be
+    bitwise-equivalent to single-shot staging: same one-hot matmuls, only
+    the accumulation order over disjoint window rows differs (each window
+    row lands in exactly one (y, z, rank) slot, so chunk-sum order cannot
+    change any slot value)."""
+    grid = Grid.cube(12, 0.012)
+    periodic = (True, True, False)
+    cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True,
+                            stencil_shape="sphere2", exchange="window",
+                            slot_capacity=6, dy_in_kernel=True)
+    pf = _particles(grid, 40, pad=3)
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97
+    u, gp, dtau, ddtu, curl = _fields(grid, seed=0)
+    args = (pf, u, gp, dtau, ddtu, curl, grid, periodic, 1e-6, 1000.0,
+            1e-4, cfg)
+    # W = 512 auto at this size; force 4 chunks of 128
+    one = cw.gaussian_coupling_window(*args, prev_alpha=prev_alpha,
+                                      interpret=True)
+    chk = cw.gaussian_coupling_window(*args, prev_alpha=prev_alpha,
+                                      interpret=True, w_chunk=128)
+    np.testing.assert_array_equal(np.asarray(chk.found),
+                                  np.asarray(one.found))
+    np.testing.assert_array_equal(np.asarray(chk.alpha),
+                                  np.asarray(one.alpha))
+    np.testing.assert_array_equal(np.asarray(chk.force),
+                                  np.asarray(one.force))
+    np.testing.assert_array_equal(np.asarray(chk.u_source),
+                                  np.asarray(one.u_source))
+    assert int(chk.n_overflow) == 0

@@ -71,6 +71,10 @@ def window_size(n_particles: int, nx: int, requested: int = 0) -> int:
     rounded up to 512 lanes — overflow beyond it is counted and those
     particles are uncoupled for the step (same contract as slot_capacity)."""
     if requested > 0:
+        if requested > 2048:
+            # chunked staging engages above 2048: round up to 512 lanes
+            # for the chunk divisibility
+            return int(np.ceil(requested / 512.0)) * 512
         return int(requested)
     mean = max(1.0, n_particles / max(1, nx))
     return max(512, int(np.ceil(2.5 * mean / 512.0)) * 512)
@@ -121,33 +125,23 @@ def _axis_factors_rel(relx, rely, relz, act, i, grid: Grid, periodic,
     return fx, fy, fz
 
 
-def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
-                   pres_ref, *, grid: Grid, periodic, offsets, combos, cap,
-                   C_in, C_d, cell_volume, nu, rho_f, cfg):
-    """One pass per x-plane: MXU-stage the window into slot planes, then
-    interpolate + force laws + deposit (the `_fused_kernel` body)."""
-    ny, nz = stk_ref.shape[3], stk_ref.shape[4]
-    i = pl.program_id(0)
-    dtype = stk_ref.dtype
-    W = dat_ref.shape[2]
-
-    dw = dat_ref[0]                                     # (C_w, W)
+def _stage_mxu(dw, cap, C_d, ny, nz, dtype):
+    """One-hot MXU staging of a (C_w, Wc) window slice into (C_d, cap,
+    ny, nz) slot planes: D[c,k] = ohy^T @ ((dat_c * sel_k) ohz), hi + lo
+    exact bf16 split. One-hot placement matrices (0/1: exact in bf16);
+    invalid rows carry y = -1 and match nothing. Mosaic's tpu.iota is
+    integer-only, so the iotas are int32 and the (exactly integer-valued)
+    f32 coordinate channels are cast for the comparison."""
+    Wc = dw.shape[1]
     y = dw[2 * C_d]
     z = dw[2 * C_d + 1]
     rank = dw[2 * C_d + 2]
-
-    # one-hot placement matrices (0/1: exact in bf16); invalid rows carry
-    # y = -1 and match nothing. Mosaic's tpu.iota is integer-only, so the
-    # iotas are int32 and the (exactly integer-valued) f32 coordinate
-    # channels are cast for the comparison.
     yi = y.astype(jnp.int32)
     zi = z.astype(jnp.int32)
-    ohyT = (jax.lax.broadcasted_iota(jnp.int32, (ny, W), 0)
-            == yi[None, :]).astype(jnp.bfloat16)        # (ny, W)
-    ohz = (jax.lax.broadcasted_iota(jnp.int32, (W, nz), 1)
-           == zi[:, None]).astype(dtype)                # (W, nz)
-
-    # stage: D[c,k] = ohy^T @ ((dat_c * sel_k) ohz), hi + lo exact split
+    ohyT = (jax.lax.broadcasted_iota(jnp.int32, (ny, Wc), 0)
+            == yi[None, :]).astype(jnp.bfloat16)        # (ny, Wc)
+    ohz = (jax.lax.broadcasted_iota(jnp.int32, (Wc, nz), 1)
+           == zi[:, None]).astype(dtype)                # (Wc, nz)
     D = []
     for c in range(C_d):
         rows = []
@@ -162,7 +156,41 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
                 acc = t if acc is None else acc + t
             rows.append(acc)
         D.append(jnp.stack(rows))                       # (cap, ny, nz)
-    D = jnp.stack(D)                                    # (C_d, cap, ny, nz)
+    return jnp.stack(D)                                 # (C_d, cap, ny, nz)
+
+
+def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
+                   pres_ref, *, grid: Grid, periodic, offsets, combos, cap,
+                   C_in, C_d, cell_volume, nu, rho_f, cfg, w_chunk=0):
+    """One pass per x-plane: MXU-stage the window into slot planes, then
+    interpolate + force laws + deposit (the `_fused_kernel` body).
+
+    ``w_chunk`` > 0 stages the window in chunks of that many rows under a
+    `lax.fori_loop`, accumulating into the (C_d, cap, ny, nz) slot planes:
+    at 256^3 the W=10240 one-hot intermediates otherwise blow Mosaic's
+    register allocator (measured: 119 MB of spill slots, VMEM OOM at
+    164/128 MB) — chunking bounds the live set at the 128^3-proven
+    Wc-sized shapes while keeping the op count constant."""
+    ny, nz = stk_ref.shape[3], stk_ref.shape[4]
+    i = pl.program_id(0)
+    dtype = stk_ref.dtype
+    W = dat_ref.shape[2]
+    C_w = dat_ref.shape[1]
+
+    if w_chunk and w_chunk < W:
+        n_ch = W // w_chunk
+
+        def body(k, D):
+            # slice the REF (Mosaic lowers pl.ds ref windows, not value
+            # dynamic_slice); w_chunk is 512-aligned so the lane offset is
+            dwc = dat_ref[0, :, pl.ds(k * w_chunk, w_chunk)]
+            return D + _stage_mxu(dwc, cap, C_d, ny, nz, dtype)
+
+        D = jax.lax.fori_loop(
+            0, n_ch, body,
+            jnp.zeros((C_d, cap, ny, nz), jnp.float32))
+    else:
+        D = _stage_mxu(dat_ref[0], cap, C_d, ny, nz, dtype)
 
     act = D[6] > 0.0
     fxd, fyd, fzd = _axis_factors_rel(
@@ -225,6 +253,7 @@ def window_exchange_padded(
     rho_f: float,
     *,
     interpret: bool = False,
+    w_chunk: Optional[int] = None,    # None = auto; tests force small chunks
 ):
     """-> (stks, combos, pres) exactly like
     `coupling_planes.fused_exchange_padded`, staging from windows."""
@@ -241,10 +270,16 @@ def window_exchange_padded(
     n_pres = 7 if cfg.use_torque else 4
 
     xoff_arr = jnp.asarray([x_off], jnp.int32)
+    # chunked staging above the 128^3-proven window size (see
+    # _window_kernel.w_chunk); W is always a multiple of 512
+    if w_chunk is None:
+        w_chunk = 0
+        if W > 2048:
+            w_chunk = next(c for c in (2048, 1536, 1024, 512) if W % c == 0)
     kernel = partial(_window_kernel, grid=grid, periodic=periodic,
                      offsets=offsets, combos=combos, cap=cap, C_in=C_in,
                      C_d=C_d, cell_volume=grid.cell_volume, nu=nu,
-                     rho_f=rho_f, cfg=cfg)
+                     rho_f=rho_f, cfg=cfg, w_chunk=w_chunk)
     smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
             else {})
     stks, pres = pl.pallas_call(
@@ -288,6 +323,7 @@ def gaussian_coupling_window(
     prev_alpha=None,
     *,
     interpret: Optional[bool] = None,
+    w_chunk: Optional[int] = None,    # forwarded to window_exchange_padded
 ) -> cp.CouplingResult:
     assert cfg.lag_alpha, "exchange='window' requires lag_alpha=True"
     if interpret is None:
@@ -359,7 +395,7 @@ def gaussian_coupling_window(
 
     stks, combos, pres = window_exchange_padded(
         pad_wrap_zero(F, periodic), dat_win, grid, periodic, cfg, 0,
-        nu, rho_f, interpret=interpret)
+        nu, rho_f, interpret=interpret, w_chunk=w_chunk)
     fields = _stack_epilogue(stks, combos).reshape(8, ncells)
 
     pvol, up = fields[0], fields[1:4]
