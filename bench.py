@@ -64,10 +64,15 @@ def main():
         # tests/test_coupling_window.py).
         # dy_in_kernel: 3 per-dx deposit stacks instead of 9 per-(dx,dy),
         # worth ~5.4 ms in the round-3 combo (abl ND vs AL)
+        # planes_window=1536 (vs auto 2048 = 2.5x mean occupancy): 25%
+        # less one-hot staging work, measured 30.0 vs 32.3 ms/step
+        # same-process (abl WW vs WF, PERF.md round-4 batch 4); honesty
+        # guarded by the zero-overflow assertion below (a too-small
+        # window drops particles into n_coupling_overflow, never silent)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="window", slot_capacity=4,
-                                   dy_in_kernel=True),
+                                   dy_in_kernel=True, planes_window=1536),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),

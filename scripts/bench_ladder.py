@@ -50,10 +50,12 @@ def main():
     cfg = dc.replace(
         cfg,
         # cap=6: the settled bed packs up to ~5 particles/cell at this
-        # radius/cell ratio (the tracked 128^3 config is dilute, cap=4)
-        coupling=dc.replace(cfg.coupling, lag_alpha=True, exchange="planes",
+        # radius/cell ratio (the tracked 128^3 config is dilute, cap=4).
+        # round 4: window exchange (in-kernel one-hot staging, no HBM
+        # slot table) — the flipped bench.py flagship config
+        coupling=dc.replace(cfg.coupling, lag_alpha=True, exchange="window",
                             stencil_shape="sphere2", slot_capacity=6,
-                            packed_bin="col", dy_in_kernel=True),
+                            dy_in_kernel=True),
         dem=dc.replace(cfg.dem, list_reuse=True, list_rebuild_steps=10,
                        refined_neighbors=4, carry_contact=True),
         pimple=dc.replace(

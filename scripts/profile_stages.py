@@ -385,6 +385,61 @@ def main():
             return jnp.sum(out.fluid.p) + jnp.sum(out.particles.pos)
         return jax.jit(go)
 
+    # --- window exchange (round-4 WW bench config) ----------------------------
+    cfg_ww = _dc.replace(
+        cfg, coupling=_dc.replace(cfg.coupling, exchange="window",
+                                  slot_capacity=4, dy_in_kernel=True,
+                                  planes_window=0 if small else 1536),
+    )
+
+    def exch_window(n):
+        def go():
+            def body(u, _):
+                fs = fs0._replace(u=u)
+                res = cd.exchange(fs, ps0, grid, cfg.bcs, tp,
+                                  cfg_ww.coupling, dt)
+                u2 = u + 0.0 * (jnp.sum(res.force) + jnp.sum(res.u_source))
+                return u2, None
+            u, _ = jax.lax.scan(body, fs0.u, None, length=n)
+            return jnp.sum(u)
+        return jax.jit(go)
+
+    # --- fluid / pressure with the spectral preconditioner --------------------
+    cfg_fft = _dc.replace(
+        cfg, pimple=_dc.replace(
+            cfg.pimple, pressure=_dc.replace(cfg.pimple.pressure,
+                                             solver="fftpcg")))
+
+    def fluid_fft(n):
+        g = jnp.asarray(cfg.gravity_fluid, jnp.float32)
+        def go():
+            def body(fs, _):
+                tb = turb_mod.correct(tb0, fs, grid, cfg.bcs, tp.nu, dt,
+                                      cfg.turbulence)
+                fs2, info = pimple_step(fs, grid, cfg.bcs, tp.nu, tb.nut, g,
+                                        dt, cfg_fft.pimple)
+                return fs2, None
+            fs, _ = jax.lax.scan(body, fs0, None, length=n)
+            return jnp.sum(fs.u) + jnp.sum(fs.p)
+        return jax.jit(go)
+
+    def psolve_fft(n):
+        from yade_openfoam_coupling_tpu.ops import stencil as st_mod
+        from yade_openfoam_coupling_tpu.ops.grid import FieldBC
+        alpha_f = st_mod.face_interp(fs0.alpha, FieldBC.uniform("neumann"),
+                                     grid)
+        rhs0 = jnp.asarray(np.random.RandomState(3).randn(*grid.shape),
+                           jnp.float32) * 1e-3
+        def go():
+            def body(rhs, _):
+                res = pr.solve_pressure(
+                    alpha_f, rhs, jnp.zeros_like(rhs), grid, cfg.bcs.p,
+                    cfg_fft.pimple.pressure)
+                return rhs + res.x * 1e-30, None
+            rhs, _ = jax.lax.scan(body, rhs0, None, length=n)
+            return jnp.sum(rhs)
+        return jax.jit(go)
+
     print(f"config: {n_particles} particles, {nx}^3 grid", flush=True)
     only = [a for a in sys.argv if a.startswith("--only=")]
     sel = only[0].split("=", 1)[1].split(",") if only else None
@@ -411,6 +466,9 @@ def main():
     if want("nofluid"): timeit("step w/o fluid", _make_ablated(fluid_fn=_stub_fluid), k=6)
     if want("psolve"): timeit("pressure solve only", pressure_only, k=6)
     if want("fpallas"): timeit("fluid (pallas pEqn)", fluid_pallas, k=6)
+    if want("window"): timeit("exchange (window WW)", exch_window, k=6)
+    if want("fftfluid"): timeit("fluid (turb + PIMPLE, fftpcg)", fluid_fft, k=6)
+    if want("fftsolve"): timeit("pressure solve only (fftpcg)", psolve_fft, k=6)
 
 
 if __name__ == "__main__":

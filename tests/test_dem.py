@@ -161,3 +161,27 @@ def test_inactive_padding_inert():
     # inactive particle must not move
     np.testing.assert_allclose(np.asarray(pos2[1]), np.asarray(pos[1]), atol=1e-8)
     assert bool(jnp.all(jnp.isfinite(pos2)))
+
+
+def test_drift_since_min_image():
+    """Min-image staleness drift: a particle that wrapped across a
+    periodic axis between a Verlet build and now has drifted ~one skin,
+    not ~one box length (the frozen-list staleness diagnostics would
+    otherwise count every mid-chunk wrap crosser as overflow)."""
+    grid = Grid.cube(8, 1.0)
+    ref = jnp.array([[0.01, 0.5, 0.5],    # wraps low -> high in x
+                     [0.99, 0.5, 0.5],    # wraps high -> low in x
+                     [0.5, 0.5, 0.98],    # z NOT periodic: true drift
+                     [0.3, 0.3, 0.3]])    # plain small drift
+    pos = jnp.array([[0.99, 0.5, 0.5],
+                     [0.01, 0.5, 0.5],
+                     [0.5, 0.5, 0.02],
+                     [0.3, 0.305, 0.3]])
+    act = jnp.ones(4, bool)
+    d = dem.drift_since(pos, ref, act, grid, (True, True, False))
+    np.testing.assert_allclose(np.asarray(d),
+                               [0.02, 0.02, 0.96, 0.005], atol=1e-6)
+    # inactive rows report zero
+    d0 = dem.drift_since(pos, ref, jnp.zeros(4, bool), grid,
+                         (True, True, False))
+    np.testing.assert_allclose(np.asarray(d0), 0.0, atol=0)

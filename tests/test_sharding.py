@@ -382,3 +382,99 @@ def test_bench_scale_sharded_matches_single():
     order = np.argsort(np.asarray(state.particles.pid))
     slab1 = (p1["pos"][:, 0] // (0.024 / 8)).astype(int)
     assert (slab0[order] != slab1).sum() > 50
+
+
+def test_chunked_sharded_matches_single_chunked():
+    """Chunked sharded scan (list_rebuild_steps=K: ONE migration + ONE
+    frozen ghost-plan/Verlet build per chunk, extended-window exchange)
+    vs the single-device statically-scheduled-rebuild scan with the same
+    K. Covers: the ext_slab binning window (particles drift out of their
+    owner slab between migrations and must STAY coupled), the periodic
+    wrap of the window at the global x edges (staged px shifted into the
+    window frame), depth-2 deposit/interp halos, and the frozen DEM plan
+    with pid-keyed shear history."""
+    import dataclasses as _dc
+    cfg = _gaussian_cfg()
+    cfg = _dc.replace(
+        cfg,
+        coupling=_dc.replace(cfg.coupling, lag_alpha=True,
+                             exchange="planes", slot_capacity=6,
+                             dy_in_kernel=True),
+        dem=_dc.replace(cfg.dem, neighbor="cells", cell_capacity=10,
+                        max_neighbors=24, shear_history=True,
+                        list_reuse=True, list_rebuild_steps=3,
+                        skin=0.25, cundall_damping=0.2,
+                        # soft contacts + dt=5e-5 keep per-chunk drift
+                        # under the Verlet margin 0.5*(bin-2r) = 1e-4, so
+                        # the zero-staleness contract is genuinely checked
+                        params=_dc.replace(cfg.dem.params, kn=10.0,
+                                           friction=0.4)),
+    )
+    rng = np.random.RandomState(7)
+    L = 0.016
+    r = 4e-4
+    # jittered lattice (spacing 1.37 mm >> 2r + 2*jitter): no initial
+    # overlaps, so contact impulses stay bounded and per-chunk drift
+    # genuinely sits under the Verlet margin (a uniform-random cloud
+    # spawns ~10 deeply overlapped pairs whose kn*overlap kick blows
+    # one particle past the margin -> spurious staleness overflow)
+    side = np.linspace(0.2 * L, 0.8 * L, 8)
+    lat = np.stack(np.meshgrid(side, side, side, indexing="ij"),
+                   -1).reshape(-1, 3)
+    sites = lat[rng.choice(len(lat), 96, replace=False)]
+    pos = (sites + rng.uniform(-2e-4, 2e-4, (96, 3))).astype(np.float32)
+    vel = np.zeros((96, 3), np.float32)
+    # cross-slab drift in x, sized so per-chunk drift (3 steps x 1.5e-5)
+    # stays under the Verlet margin 0.5*(bin - 2r) = 8e-5
+    vel[:, 0] = rng.choice([-0.15, 0.15], 96)
+    # global-edge wrap-crossers: mid-chunk they cross x=0 / x=L and must
+    # be coupled through the FIRST/LAST shard's wrapped window plane
+    pos[:4, 0] = 1.1e-5
+    vel[:4, 0] = -0.15
+    pos[4:8, 0] = L - 1.1e-5
+    vel[4:8, 0] = 0.15
+    # an overlapping chain resting on the floor -> persistent contacts so
+    # the frozen shear springs are actually engaged
+    xs = 0.004 + np.arange(12) * 1.9 * r
+    pos[8:20, 0] = xs
+    pos[8:20, 1] = L / 2
+    pos[8:20, 2] = r * 0.98
+    vel[8:20] = 0.0
+    state = cd.initialize_state(
+        make_fluid_state(cfg.grid),
+        make_particle_state(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                            radius=r),
+        make_turbulence_state(cfg.grid),
+        cfg, dt=5e-5,
+    )
+    n = 6   # 2 chunks of K=3
+    s1, d1 = _run_single(cfg, state, n)
+    s8, d8 = _run_sharded(cfg, state, n)
+
+    # every particle stays coupled every step, even while outside its
+    # owner slab mid-chunk (the ext window's whole point)
+    np.testing.assert_array_equal(np.asarray(d8.n_found), np.full(n, 96))
+    for d in (d1, d8):
+        assert int(np.max(np.asarray(d.n_contact_overflow))) == 0
+        assert int(np.max(np.asarray(d.n_coupling_overflow))) == 0
+    assert int(np.max(np.asarray(d8.n_shard_overflow))) == 0
+
+    p1 = sh.particles_by_pid(s1.particles)
+    p8 = sh.particles_by_pid(s8.particles)
+    np.testing.assert_array_equal(p8["pid"], p1["pid"])
+    np.testing.assert_allclose(p8["pos"], p1["pos"], rtol=1e-4, atol=1e-8)
+    # vel atol covers near-zero components (velocity scale is 0.15 m/s;
+    # 1-vs-8-shard reduction order wiggles them by ~2e-5)
+    np.testing.assert_allclose(p8["vel"], p1["vel"], rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.alpha), np.asarray(s1.fluid.alpha),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s8.fluid.u), np.asarray(s1.fluid.u),
+        rtol=1e-2, atol=1e-5)
+    # engaged springs (non-vacuous shear coverage)
+    assert float(jnp.sum(jnp.abs(s8.particles.shear_xi))) > 0.0
+    # the wrap-crossers really wrapped across the global x edge
+    w = np.isin(p1["pid"], np.arange(8))
+    assert (p1["pos"][w][:4, 0] > 0.9 * L).all()
+    assert (p1["pos"][w][4:, 0] < 0.1 * L).all()

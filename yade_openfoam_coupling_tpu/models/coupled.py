@@ -201,8 +201,14 @@ def initialize_state(
             particles.active, cfg.grid, cfg.dem, cfg.r_max,
             nbr=particles.nbr)
         particles = particles._replace(contact_f=fc0, contact_t=tc0)
-    cres = exchange(fluid, particles, cfg.grid, cfg.bcs, cfg.transport,
-                    cfg.coupling, dt_arr)
+    # jit the one-off init exchange: eagerly it materializes every
+    # transient back-to-back and OOMs at the 1M/256^3 north star (16.00 GB
+    # vs 15.75 — the op-by-op dispatch keeps all staging/unbin buffers
+    # live at once; under jit XLA schedules them well inside the budget)
+    cres = jax.jit(
+        lambda f, p, d: exchange(f, p, cfg.grid, cfg.bcs, cfg.transport,
+                                 cfg.coupling, d)
+    )(fluid, particles, dt_arr)
     fluid = fluid._replace(
         alpha=cres.alpha,
         alpha_old=cres.alpha,
@@ -328,20 +334,16 @@ def coupled_step(
             # chunk's rebuild exceeds the skin margin may have unseen
             # contacts — count them as contact overflow (0 = exact).
             nbr = ps.nbr
-            disp = jnp.where(
-                ps.active,
-                jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0)
+            disp = demod.drift_since(ps.pos, ps.nbr_ref_pos, ps.active,
+                                     grid, cfg.dem.periodic)
             n_list_overflow = jnp.sum((disp >= margin).astype(jnp.int32))
         elif cfg.dem.list_margin_factor < 0:
             # debug/measurement mode: never rebuild, no lax.cond in the
             # graph (quantifies the conditional's own in-context cost)
             nbr = ps.nbr
         else:
-            disp = jnp.max(jnp.where(
-                ps.active,
-                jnp.max(jnp.abs(ps.pos - ps.nbr_ref_pos), axis=-1), 0.0))
-            # max-norm per axis with periodic wrap: a particle that wrapped
-            # across the box reads as a huge displacement -> harmless rebuild
+            disp = jnp.max(demod.drift_since(
+                ps.pos, ps.nbr_ref_pos, ps.active, grid, cfg.dem.periodic))
             need = disp >= margin
 
             def _rebuild(_):

@@ -142,16 +142,21 @@ def _staging_scatter(dat, oh, cell_sorted, keep, C, cap, ncells, nz,
 def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
                          x_start=None, n_loc: Optional[int] = None,
                          with_angvel: bool = False,
-                         packed_bin: bool = False) -> PlaneBins:
+                         packed_bin: bool = False,
+                         wrap_x: bool = False) -> PlaneBins:
     """Bin into the full grid, or — given ``x_start`` (traced shard slab
     origin plane) and ``n_loc`` — into this shard's x-slab; particles
     outside the slab are invalid (the owner-shard mask of the sparse
-    sharded exchange). ``with_angvel`` appends the 3 angular-velocity
-    channels (torque mode). There is NO explicit activity channel:
-    non-kept rows scatter zeros, so slot activity is exactly rad > 0
-    (channel 6) — one fewer staging channel through the scatter/table."""
+    sharded exchange). ``wrap_x``: interpret the slab window modulo the
+    global nx (the extended-slab window of the chunked sharded exchange
+    can start at plane -1, which is plane nx-1 under periodic x).
+    ``with_angvel`` appends the 3 angular-velocity channels (torque mode).
+    There is NO explicit activity channel: non-kept rows scatter zeros, so
+    slot activity is exactly rad > 0 (channel 6) — one fewer staging
+    channel through the scatter/table."""
     N = pf.pos.shape[0]
     nx, ny, nz = grid.shape
+    nx_global = nx
     if n_loc is not None:
         nx = n_loc
     ncells = nx * ny * nz
@@ -160,8 +165,18 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
     base, inside = cp.locate(pf.pos, grid)
     valid = pf.active & inside
     bx = base[:, 0]
+    px_shift = None
     if x_start is not None:
         bx = bx - x_start
+        if wrap_x:
+            bx_raw = bx
+            bx = jnp.mod(bx, nx_global)
+            # a wrapped particle (e.g. global plane nx-1 binned into the
+            # extended window's plane -1) must carry its x coordinate in
+            # the WINDOW frame, or the plane kernels' Gaussian x factors
+            # (cx from the global plane index) see it a full box away
+            px_shift = ((bx_raw - bx) // nx_global).astype(pf.pos.dtype) \
+                * grid.lengths[0]
         valid = valid & (bx >= 0) & (bx < nx)
     cell = bx * (ny * nz) + base[:, 1] * nz + base[:, 2]
     cell = jnp.where(valid, cell, ncells)
@@ -172,7 +187,10 @@ def bin_particles_planes(pf: cp.ParticleFields, grid: Grid, cap: int,
     rank = rank_in_sorted_segments(cell_sorted)
     keep = (rank < cap) & (cell_sorted < ncells)
 
-    cols = [pf.pos, pf.vel, pf.radius[:, None]]
+    pos_staged = pf.pos
+    if px_shift is not None:
+        pos_staged = pos_staged.at[:, 0].add(-px_shift)
+    cols = [pos_staged, pf.vel, pf.radius[:, None]]
     if with_angvel:
         cols.append(pf.angvel)
     dat = jnp.concatenate(cols, axis=-1)[order]            # (N, C) sorted

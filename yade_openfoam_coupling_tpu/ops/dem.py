@@ -531,6 +531,24 @@ def cell_list_contact_forces(
 # Verlet neighbor lists: build once per fluid step, reuse across substeps
 # ---------------------------------------------------------------------------
 
+def drift_since(pos, ref_pos, active, grid: Grid, periodic) -> jnp.ndarray:
+    """(N,) max-norm per-particle displacement since ``ref_pos``, with
+    MIN-IMAGE distance on periodic axes: a particle that wrapped across
+    the box between a Verlet-list build and now has moved ~one skin, not
+    ~one box length. Without this, frozen-list staleness diagnostics
+    (models/coupled.py, parallel/sharded.py) count every mid-chunk wrap
+    crosser as a false-positive contact overflow."""
+    d = jnp.abs(pos - ref_pos)
+    comps = []
+    for a in range(3):
+        da = d[:, a]
+        if periodic[a]:
+            da = jnp.minimum(da, grid.lengths[a] - da)
+        comps.append(da)
+    d = jnp.stack(comps, axis=-1)
+    return jnp.where(active, jnp.max(d, axis=-1), 0.0)
+
+
 def effective_bin_size(grid: Grid, cfg: DEMConfig, r_max: float) -> float:
     """The hash-bin size `build_neighbor_list` actually uses: the Verlet
     2*r_max*(1+skin) sizing, enlarged when the bin count would exceed

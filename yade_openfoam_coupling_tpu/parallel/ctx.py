@@ -149,6 +149,52 @@ class ShardCtx:
                 f = self._pad_axis_sharded(f, axis, lo, hi, name, None)
         return f
 
+    def _pad_axis_sharded2(self, f, axis, lo, hi, name, component):
+        """Depth-2 ghost pad along a sharded axis (one 2-plane ppermute
+        each way). Used by the extended-slab exchange: particles that
+        drifted <=1 plane past their owner slab between chunked migrations
+        still need their full +-1-plane interpolation stencil. At a
+        non-periodic global edge the outer ghost plane duplicates the BC
+        ghost — it is only ever read by stencils of particles in the
+        extended window's edge plane, which is outside the physical domain
+        there and therefore empty."""
+        n_sh = lax.axis_size(name)
+        idx = lax.axis_index(name)
+        n = f.shape[axis]
+        first2 = lax.slice_in_dim(f, 0, 2, axis=axis)
+        last2 = lax.slice_in_dim(f, n - 2, n, axis=axis)
+        fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+        bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+        from_left = lax.ppermute(last2, name, fwd)
+        from_right = lax.ppermute(first2, name, bwd)
+        periodic = lo.kind == PERIODIC and hi.kind == PERIODIC
+        if not periodic:
+            first = lax.slice_in_dim(f, 0, 1, axis=axis)
+            last = lax.slice_in_dim(f, n - 1, n, axis=axis)
+            g_lo_bc = _bc_ghost(lo, first, component, axis)
+            g_hi_bc = _bc_ghost(hi, last, component, axis)
+            g_lo_bc2 = jnp.concatenate([g_lo_bc, g_lo_bc], axis=axis)
+            g_hi_bc2 = jnp.concatenate([g_hi_bc, g_hi_bc], axis=axis)
+            from_left = jnp.where(idx == 0, g_lo_bc2, from_left)
+            from_right = jnp.where(idx == n_sh - 1, g_hi_bc2, from_right)
+        return jnp.concatenate([from_left, f, from_right], axis=axis)
+
+    def pad_s_x2(self, f: jnp.ndarray, bc: FieldBC) -> jnp.ndarray:
+        """pad_s with a DEPTH-2 ghost shell on the x (sharded) axis and the
+        usual 1-cell shell on y/z -> (nx+4, ny+2, nz+2)."""
+        lo, hi = bc.faces[0]
+        name = self.mesh_axes[0]
+        assert name is not None, "pad_s_x2 is for the sharded x axis"
+        f = self._pad_axis_sharded2(f, 0, lo, hi, name, None)
+        for axis in (1, 2):
+            lo, hi = bc.faces[axis]
+            if self.mesh_axes[axis] is None:
+                f = pad_axis(f, axis, lo, hi)
+            else:
+                f = self._pad_axis_sharded(f, axis, lo, hi,
+                                           self.mesh_axes[axis], None)
+        return f
+
     def pad_v(self, u: jnp.ndarray, bc: FieldBC) -> jnp.ndarray:
         comps = []
         for c in range(3):

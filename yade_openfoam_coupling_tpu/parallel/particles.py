@@ -244,6 +244,98 @@ def fetch_ghosts(plan: GhostPlan, pos, vel, angvel, radius, geom: SlabGeom,
 
 
 # ---------------------------------------------------------------------------
+# Prebuilt DEM plan (chunked sharded scan: one build per K-step chunk)
+# ---------------------------------------------------------------------------
+
+class DEMPlan(NamedTuple):
+    """Ghost plan + neighbor list built once per rebuild chunk and frozen
+    across the chunk's fluid steps (the sharded analog of the local
+    statically-scheduled Verlet rebuild). Ghost VALUES still refresh per
+    substep via `fetch_ghosts`; only the SET and the candidate list are
+    frozen. `ref_pos` anchors the same drift-staleness diagnostic the
+    local path uses (models/coupled.py frozen_list)."""
+
+    plan: GhostPlan
+    nbr: Optional[jnp.ndarray]
+    n_list_overflow: jnp.ndarray
+    ref_pos: jnp.ndarray
+
+
+def ghost_width(grid: Grid, cfg, r_max: float) -> float:
+    """The farthest a contact partner of a local particle can sit past the
+    slab boundary. Cell lists: 2 hash-bin widths (27-bin reach with
+    unaligned bin edges; MUST match build_neighbor_list's effective bin
+    size incl. the max_bins cap). All-pairs: the contact distance plus the
+    Verlet-skin drift margin."""
+    import yade_openfoam_coupling_tpu.ops.dem as demod
+    if cfg.neighbor == "cells":
+        return 2.0 * demod.effective_bin_size(grid, cfg, r_max)
+    return 2.0 * r_max * (1.0 + cfg.skin)
+
+
+def ghost_capacity(n_loc_cap: int, grid: Grid, cfg, r_max: float,
+                   geom: SlabGeom) -> int:
+    """Per-direction ghost-plan send capacity: the slot capacity scaled by
+    the eligible fraction of the slab (particles within `ghost_width` of
+    an edge). When gw >= slab width EVERY local particle is eligible both
+    ways, so the only safe bound is the full slot capacity; when gw is a
+    small fraction of the slab, sizing by that fraction keeps the ppermute
+    buffers proportional to the boundary-band population (slot capacity is
+    already ~2x the max initial count, so the band inherits the same
+    headroom). Overflow is surfaced per step, never silent."""
+    import math
+    gw = ghost_width(grid, cfg, r_max)
+    slab_w = geom.n_loc * grid.spacing[0]
+    frac = min(1.0, gw / slab_w)
+    return max(16, min(n_loc_cap, int(math.ceil(n_loc_cap * frac))))
+
+
+def check_slab_geometry(grid: Grid, cfg, r_max: float, geom: SlabGeom,
+                        n_sh: int):
+    gw = ghost_width(grid, cfg, r_max)
+    slab_w = geom.n_loc * grid.spacing[0]
+    periodic_x = bool(cfg.periodic[0])
+    if n_sh > 1 and slab_w < gw:
+        raise ValueError(
+            f"slab width {slab_w:.4g} < ghost width {gw:.4g}: contacts "
+            f"would reach past the adjacent shard — use fewer shards"
+        )
+    if n_sh == 2 and periodic_x and slab_w < 2.0 * gw:
+        # one particle would ghost to BOTH sides of the same neighbour and
+        # min-image would double-count the pair
+        raise ValueError(
+            f"2 shards + periodic x needs slab width >= 2*ghost width "
+            f"({slab_w:.4g} < {2 * gw:.4g})"
+        )
+    return gw
+
+
+def build_dem_plan(ps: ParticleState, grid: Grid, cfg, r_max: float,
+                   geom: SlabGeom, K_ghost: int) -> DEMPlan:
+    """Build the frozen (ghost plan, neighbor list) for one rebuild chunk."""
+    import yade_openfoam_coupling_tpu.ops.dem as demod
+    n_sh = lax.axis_size(geom.name)
+    gw = check_slab_geometry(grid, cfg, r_max, geom, n_sh)
+    periodic_x = bool(cfg.periodic[0])
+    use_ghosts = n_sh > 1
+    plan = plan_ghosts(ps.pos, ps.active, grid, geom, gw, periodic_x,
+                       K_ghost if use_ghosts else 1)
+    if use_ghosts:
+        gpos, _, _, grad, gact = fetch_ghosts(
+            plan, ps.pos, ps.vel, ps.angvel, ps.radius, geom)
+        apos = jnp.concatenate([ps.pos, gpos])
+        aact = jnp.concatenate([ps.active, gact])
+    else:
+        apos, aact = ps.pos, ps.active
+    if cfg.neighbor == "cells":
+        nbr, n_over = demod.build_neighbor_list(
+            apos, aact, grid, cfg, r_max, return_overflow=True)
+    else:
+        nbr, n_over = None, jnp.int32(0)
+    return DEMPlan(plan, nbr, n_over, ps.pos)
+
+
+# ---------------------------------------------------------------------------
 # Sharded DEM substeps
 # ---------------------------------------------------------------------------
 
@@ -259,6 +351,7 @@ def dem_substeps_sharded(
     K_ghost: int,
     shear=None,                 # Optional[demod.ShearState]: pid-keyed history
     dt_seq=None,                # per-substep dt (DEMConfig.dynamic_substeps)
+    dem_plan: "Optional[DEMPlan]" = None,
 ):
     """Velocity-Verlet substeps on the local slot array with per-substep
     ghost refresh — the sharded counterpart of `dem.dem_substeps` (exactly
@@ -268,7 +361,15 @@ def dem_substeps_sharded(
     ``dt_seq`` overrides the scalar ``dt_dem`` with a (n_sub,) per-substep
     dt — zero entries are exact velocity-Verlet no-ops (the masked tail of
     the dynamic-substep path). Must be REPLICATED across shards (it is
-    derived from a ctx.min-reduced critical dt in `coupled_step`)."""
+    derived from a ctx.min-reduced critical dt in `coupled_step`).
+
+    ``dem_plan``: a frozen (ghost plan, neighbor list) from
+    `build_dem_plan` — the chunked sharded scan's analog of the local
+    statically-scheduled Verlet rebuild. Ghost VALUES still refresh per
+    substep; only the ghost SET and the candidate list are reused (a
+    stale-but-valid plan is a candidate superset, so forces are
+    identical; staleness is diagnosed by the caller against
+    `DEMPlan.ref_pos`)."""
     pos, vel, angvel = ps.pos, ps.vel, ps.angvel
     radius, active = ps.radius, ps.active
     N = pos.shape[0]
@@ -285,33 +386,14 @@ def dem_substeps_sharded(
 
     use_list = cfg.neighbor == "cells"
     n_sh = lax.axis_size(geom.name)
-    periodic_x = bool(cfg.periodic[0])
-
-    # ghost zone width: the farthest a contact partner of a local particle
-    # can sit past the slab boundary. Cell lists: 2 hash-bin widths (27-bin
-    # reach with unaligned bin edges; MUST match build_neighbor_list's
-    # effective bin size incl. the max_bins cap). All-pairs: the contact
-    # distance plus the Verlet-skin drift margin.
-    if use_list:
-        gw = 2.0 * demod.effective_bin_size(grid, cfg, r_max)
-    else:
-        gw = 2.0 * r_max * (1.0 + cfg.skin)
-    slab_w = geom.n_loc * grid.spacing[0]
-    if n_sh > 1 and slab_w < gw:
-        raise ValueError(
-            f"slab width {slab_w:.4g} < ghost width {gw:.4g}: contacts "
-            f"would reach past the adjacent shard — use fewer shards"
-        )
-    if n_sh == 2 and periodic_x and slab_w < 2.0 * gw:
-        # one particle would ghost to BOTH sides of the same neighbour and
-        # min-image would double-count the pair
-        raise ValueError(
-            f"2 shards + periodic x needs slab width >= 2*ghost width "
-            f"({slab_w:.4g} < {2 * gw:.4g})"
-        )
     use_ghosts = n_sh > 1   # n_sh == 1: min-image already sees everyone
-    plan = plan_ghosts(pos, active, grid, geom, gw, periodic_x,
-                       K_ghost if use_ghosts else 1)
+    if dem_plan is None:
+        gw = check_slab_geometry(grid, cfg, r_max, geom, n_sh)
+        plan = plan_ghosts(pos, active, grid, geom, gw,
+                           bool(cfg.periodic[0]),
+                           K_ghost if use_ghosts else 1)
+    else:
+        plan = dem_plan.plan
 
     def all_state(pos, vel, angvel):
         if not use_ghosts:
@@ -341,7 +423,9 @@ def dem_substeps_sharded(
             apid = ps.pid
 
     apos, avel, aang, arad, aact = all_state(pos, vel, angvel)
-    if use_list:
+    if dem_plan is not None:
+        nbr, n_list_over = dem_plan.nbr, jnp.int32(0)
+    elif use_list:
         nbr, n_list_over = demod.build_neighbor_list(
             apos, aact, grid, cfg, r_max, return_overflow=True
         )
@@ -402,7 +486,8 @@ def dem_substeps_sharded(
             body_h, (pos, vel, angvel, a0, aw0, xi0, xw0), dt_seq,
             length=n_sub
         )
-        n_ghost_over = plan.n_overflow if use_ghosts else jnp.int32(0)
+        n_ghost_over = (jnp.int32(0) if dem_plan is not None else
+                        plan.n_overflow if use_ghosts else jnp.int32(0))
         return (pos, vel, angvel, n_list_over, n_ghost_over,
                 demod.ShearState(xi, keys, xw))
 
@@ -443,5 +528,6 @@ def dem_substeps_sharded(
     (pos, vel, angvel, _, _), _ = lax.scan(
         body, (pos, vel, angvel, a0, aw0), dt_seq, length=n_sub
     )
-    n_ghost_over = plan.n_overflow if use_ghosts else jnp.int32(0)
+    n_ghost_over = (jnp.int32(0) if dem_plan is not None else
+                    plan.n_overflow if use_ghosts else jnp.int32(0))
     return pos, vel, angvel, n_list_over, n_ghost_over

@@ -266,13 +266,23 @@ def _sharded_support_ops(
                          dep_outer), w
 
 
-def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
+def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
+                          ext_slab: bool = False):
     """Sharded plane-dense exchange: each shard bins its slab population
     into channel-major slot planes, runs the fused Pallas interp/deposit
     kernels on its slab (ghost fluid planes from the ring, global-edge
     wall masks via the slab's global x offset), and completes cross-slab
     deposits with one ppermute halo add — the slab analog of the
-    single-device `ops/coupling_planes.gaussian_coupling_planes`."""
+    single-device `ops/coupling_planes.gaussian_coupling_planes`.
+
+    ``ext_slab``: bin into an EXTENDED window of n_loc+2 planes
+    [start-1, start+n_loc+1) so particles that drifted <=1 plane past the
+    owner slab between chunked migrations (make_sharded_scan with
+    list_rebuild_steps > 0) stay coupled: fluid inputs get a depth-2 x
+    halo (ctx.pad_s_x2), deposits halo-reduce 2 planes each way, and
+    under periodic x the window wraps (bin_particles_planes wrap_x).
+    Drift past the window drops the particle from coupling and shows up
+    in n_found — the same staleness contract as the frozen Verlet list."""
     import jax as _jax
 
     from ..ops import coupling_planes as cpp
@@ -285,6 +295,8 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
     ny, nz = grid.shape[1], grid.shape[2]
     Vc = grid.cell_volume
     cap = ccfg.slot_capacity
+    H = 2 if ext_slab else 1          # deposit halo depth
+    nxl = n_loc + (2 if ext_slab else 0)   # binned window planes
 
     def ex(fs, ps, dt) -> cp.CouplingResult:
         interpret = _jax.default_backend() != "tpu"
@@ -293,26 +305,29 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         )
         pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
         start = lax.axis_index(AXIS) * n_loc
+        x_off = start - 1 if ext_slab else start
         bins = cpp.bin_particles_planes(pf, grid, cap,
-                                        x_start=start, n_loc=n_loc,
+                                        x_start=x_off, n_loc=nxl,
                                         with_angvel=ccfg.use_torque,
-                                        packed_bin=ccfg.packed_bin)
+                                        packed_bin=ccfg.packed_bin,
+                                        wrap_x=ext_slab and periodic[0])
 
         comps = [fs.u, grad_p, div_tau]
         if ccfg.use_torque:
             comps.append(curl_u)
         if ccfg.use_added_mass:
             comps.append(ddt_u)
+        pad = ctx.pad_s_x2 if ext_slab else ctx.pad_s
         chans = []
         for comp in comps:
             for c in range(3):
-                chans.append(ctx.pad_s(comp[c], gbc))
-        chans.append(ctx.pad_s(fs.alpha, gbc))
-        Fp = jnp.stack(chans)                       # (C_in, n_loc+2, ny+2, nz+2)
+                chans.append(pad(comp[c], gbc))
+        chans.append(pad(fs.alpha, gbc))
+        Fp = jnp.stack(chans)                       # (C_in, nxl+2, ny+2, nz+2)
 
         if ccfg.fused_planes:
             stks, combos, pres = cpp.fused_exchange_padded(
-                Fp, bins.D, grid, periodic, ccfg, start, tp.nu, tp.rho_f,
+                Fp, bins.D, grid, periodic, ccfg, x_off, tp.nu, tp.rho_f,
                 interpret=interpret,
             )
             force, found = pres[0:3], pres[pres.shape[0] - 1]
@@ -320,7 +335,7 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
                       else jnp.zeros_like(force))
         else:
             G, norm = cpp.interp_planes_padded(Fp, bins.D, grid, periodic,
-                                               ccfg, start,
+                                               ccfg, x_off,
                                                interpret=interpret)
             V, force, torque, found = cpp._physics_planes(
                 bins.D, G, norm, Vc, tp.nu, tp.rho_f, ccfg
@@ -328,27 +343,27 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
             inv_norm = jnp.where(norm > 0.0,
                                  1.0 / jnp.where(norm > 0.0, norm, 1.0), 0.0)
             stks, combos = cpp.deposit_stacks(
-                V * inv_norm[None], bins.D, n_loc, grid, periodic, ccfg,
-                start, interpret=interpret,
+                V * inv_norm[None], bins.D, nxl, grid, periodic, ccfg,
+                x_off, interpret=interpret,
             )
 
         # epilogue: dy rolls are slab-local; dx shifts land in a halo-
         # extended slab completed by one ring exchange (cf. dep_stack)
         C_out = stks.shape[1]
-        ext = jnp.zeros((C_out, n_loc + 2, ny, nz), stks.dtype)
+        ext = jnp.zeros((C_out, nxl + 2, ny, nz), stks.dtype)
         for ci, (dx, dy) in enumerate(combos):
             v = stks[ci]
             if dy:
                 v = jnp.roll(v, dy, axis=2)
-            ext = ext.at[:, 1 + dx: 1 + dx + n_loc].add(v)
+            ext = ext.at[:, 1 + dx: 1 + dx + nxl].add(v)
         n_sh = lax.axis_size(AXIS)
         fwd = [(i, (i + 1) % n_sh) for i in range(n_sh)]
         bwd = [(i, (i - 1) % n_sh) for i in range(n_sh)]
-        from_left = lax.ppermute(ext[:, -1:], AXIS, fwd)
-        from_right = lax.ppermute(ext[:, :1], AXIS, bwd)
-        out = ext[:, 1:-1]
-        out = out.at[:, 0].add(from_left[:, 0])
-        out = out.at[:, -1].add(from_right[:, 0])
+        from_left = lax.ppermute(ext[:, -H:], AXIS, fwd)
+        from_right = lax.ppermute(ext[:, :H], AXIS, bwd)
+        out = ext[:, H:-H]
+        out = out.at[:, :H].add(from_left)
+        out = out.at[:, -H:].add(from_right)
 
         pvol, up = out[0], out[1:4]
         alpha = jnp.maximum(1.0 - pvol / Vc, ccfg.alpha_min)
@@ -357,7 +372,7 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         u_source = u_source_drag[None] * u_particle + out[5:8]
 
         # unbin (slab-local; packed_unbin-aware — see cpp._unbin_rows)
-        ncl = n_loc * ny * nz
+        ncl = nxl * ny * nz
         per = jnp.concatenate([force, torque,
                                found.astype(force.dtype)[None]])
         res_sorted = cpp._unbin_rows(per, bins.cell_sorted, bins.rank,
@@ -375,7 +390,8 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
     return ex
 
 
-def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
+def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
+                          ext_slab: bool = False):
     """Owner-shard coupling exchange closure for `coupled_step`."""
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
@@ -384,7 +400,11 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int):
         # sharded counterpart yet; per shard the slab population is small
         # enough that the slot-plane staging scatter is not the bottleneck
         # — run the physically identical sharded planes machinery.
-        return _make_planes_exchange(cfg, ctx, n_loc)
+        return _make_planes_exchange(cfg, ctx, n_loc, ext_slab=ext_slab)
+    assert not ext_slab, (
+        "the chunked sharded scan (list_rebuild_steps > 0) requires the "
+        "planes/window exchange — the sparse sharded exchange has no "
+        "extended-window binning")
 
     def ex(fs, ps, dt) -> cp.CouplingResult:
         curl_u, grad_p, div_tau, ddt_u = cd._coupling_inputs(
@@ -591,38 +611,58 @@ def to_sharded_state(state: SimState, cfg: cd.CaseConfig, mesh: Mesh,
     )
 
 
-def _make_dem_fn(cfg: cd.CaseConfig, geom):
+def _make_dem_fn(cfg: cd.CaseConfig, geom, dem_plan=None):
     """Per-shard DEM driver closure for `coupled_step`: ghost-refreshing
     velocity-Verlet substeps on the local slot population. With
     ``shear_history`` the per-contact springs ride along, keyed on stable
-    pids so ghost reshuffles and migration cannot orphan them."""
+    pids so ghost reshuffles and migration cannot orphan them.
+
+    ``dem_plan`` (chunked scan): the frozen ghost plan + Verlet list from
+    `particles.build_dem_plan`, reused across the chunk's steps. The
+    per-step staleness diagnostic (drift since the plan's build vs the
+    Verlet skin margin) rides n_contact_overflow, mirroring the local
+    frozen-list path (models/coupled.py)."""
     from . import particles as pp
+    from ..ops import dem as demod
 
     assert not cfg.dem.carry_contact, (
         "carry_contact is a single-device optimization: the sharded path "
         "migrates/permutes particle slots between steps and refreshes "
         "ghosts per substep, so the carried force would be misaligned "
         "(and the saved evaluation is re-done by the ghost refresh anyway)")
+
+    def staleness(ps):
+        if dem_plan is None or cfg.dem.neighbor != "cells":
+            return jnp.int32(0)
+        bin_size = demod.effective_bin_size(cfg.grid, cfg.dem, cfg.r_max)
+        margin = cfg.dem.list_margin_factor * (bin_size - 2.0 * cfg.r_max)
+        disp = demod.drift_since(ps.pos, dem_plan.ref_pos, ps.active,
+                                 cfg.grid, cfg.dem.periodic)
+        return jnp.sum((disp >= margin).astype(jnp.int32))
+
     if cfg.dem.shear_history:
         def dem_fn(ps, hydro, dt_dem, dt_seq=None):
             n_loc_cap = ps.pos.shape[0]
-            K_g = max(16, n_loc_cap // 2)
+            K_g = pp.ghost_capacity(n_loc_cap, cfg.grid, cfg.dem,
+                                    cfg.r_max, geom)
             sh = demod_shear(ps)
             pos, vel, angvel, n_list, n_ghost, sh2 = pp.dem_substeps_sharded(
                 ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
                 cfg.r_max, geom, K_g, shear=sh, dt_seq=dt_seq,
+                dem_plan=dem_plan,
             )
-            return pos, vel, angvel, n_list + n_ghost, sh2
+            return pos, vel, angvel, n_list + n_ghost + staleness(ps), sh2
         return dem_fn
 
     def dem_fn(ps, hydro, dt_dem, dt_seq=None):
         n_loc_cap = ps.pos.shape[0]
-        K_g = max(16, n_loc_cap // 2)
+        K_g = pp.ghost_capacity(n_loc_cap, cfg.grid, cfg.dem,
+                                cfg.r_max, geom)
         pos, vel, angvel, n_list, n_ghost = pp.dem_substeps_sharded(
             ps, hydro, cfg.grid, cfg.dem, dt_dem, cfg.n_dem_substeps,
-            cfg.r_max, geom, K_g, dt_seq=dt_seq,
+            cfg.r_max, geom, K_g, dt_seq=dt_seq, dem_plan=dem_plan,
         )
-        return pos, vel, angvel, n_list + n_ghost
+        return pos, vel, angvel, n_list + n_ghost + staleness(ps)
 
     return dem_fn
 
@@ -633,19 +673,20 @@ def demod_shear(ps):
 
 
 def _one_sharded_step(state: SimState, cfg: cd.CaseConfig, ctx: ShardCtx,
-                      n_loc: int, ex, dem_fn, geom):
+                      n_loc: int, ex, dem_fn, geom, migrate: bool = True):
     from . import particles as pp
 
     faces = lo_to_faces_local(state.fluid.phi, cfg.bcs.u, ctx)
     st8 = state._replace(fluid=state.fluid._replace(phi=faces))
     new, diag = cd.coupled_step(st8, cfg, ctx=ctx, exchange_fn=ex,
                                 dem_fn=dem_fn)
-    # slab migration: one ring hop per step toward the owner shard
-    K_m = max(8, new.particles.pos.shape[0] // 4)
-    ps_new, n_mig = pp.migrate(new.particles, cfg.grid, geom, K_m)
-    diag = diag._replace(n_shard_overflow=lax.psum(n_mig, AXIS))
+    if migrate:
+        # slab migration: one ring hop per step toward the owner shard
+        K_m = max(8, new.particles.pos.shape[0] // 4)
+        ps_new, n_mig = pp.migrate(new.particles, cfg.grid, geom, K_m)
+        diag = diag._replace(n_shard_overflow=lax.psum(n_mig, AXIS))
+        new = new._replace(particles=ps_new)
     new = new._replace(
-        particles=ps_new,
         fluid=new.fluid._replace(phi=faces_to_lo_local(new.fluid.phi, ctx)),
     )
     return new, diag
@@ -694,6 +735,7 @@ def make_sharded_scan(cfg: cd.CaseConfig, mesh: Mesh, n_steps: int):
     fully unrolling on the CPU backend — the virtual-device test/dryrun
     path. XLA:TPU's production SPMD pipeline is kept rolled."""
     import jax as _jax
+    from . import particles as pp
     from .particles import SlabGeom
     n_sh = mesh.shape[AXIS]
     n_loc = cfg.grid.shape[0] // n_sh
@@ -701,14 +743,71 @@ def make_sharded_scan(cfg: cd.CaseConfig, mesh: Mesh, n_steps: int):
     geom = SlabGeom(n_loc=n_loc, name=AXIS)
     unroll = n_steps if _jax.default_backend() == "cpu" else 1
 
+    K = cfg.dem.list_rebuild_steps
+    chunked = (cfg.dem.list_reuse and K > 0 and cfg.dem.neighbor == "cells"
+               and cfg.coupling.gaussian
+               and cfg.coupling.exchange in ("planes", "window"))
+
+    if not chunked:
+        def body(state: SimState):
+            ex = make_sharded_exchange(cfg, ctx, n_loc)
+            dem_fn = _make_dem_fn(cfg, geom)
+
+            def one(s, _):
+                return _one_sharded_step(s, cfg, ctx, n_loc, ex, dem_fn,
+                                         geom)
+
+            return lax.scan(one, state, None, length=n_steps, unroll=unroll)
+
+        sharded = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(state_specs(cfg),),
+            out_specs=(state_specs(cfg), diag_specs()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # Chunked sharded scan — the sharded analog of the local statically-
+    # scheduled Verlet rebuild (models/coupled.py make_scan_fn): per chunk,
+    # ONE slab migration + ONE (ghost plan, Verlet list) build, then K
+    # frozen steps with NO migration. Between migrations particles may
+    # drift <=1 plane past their slab, so the exchange runs in ext_slab
+    # mode (extended binning window + depth-2 halos); drift beyond the
+    # window or the Verlet skin margin is surfaced per step in
+    # n_found / n_contact_overflow, exactly like the local path.
+    n_chunks, rem = divmod(n_steps, K)
+    sizes = [K] * n_chunks + ([rem] if rem else [])
+
     def body(state: SimState):
-        ex = make_sharded_exchange(cfg, ctx, n_loc)
-        dem_fn = _make_dem_fn(cfg, geom)
+        ex = make_sharded_exchange(cfg, ctx, n_loc, ext_slab=True)
+        K_m = max(8, state.particles.pos.shape[0] // 4)
+        K_g = pp.ghost_capacity(state.particles.pos.shape[0], cfg.grid,
+                                cfg.dem, cfg.r_max, geom)
+        diags = []
+        for sz in sizes:
+            ps, n_mig = pp.migrate(state.particles, cfg.grid, geom, K_m)
+            plan = pp.build_dem_plan(ps, cfg.grid, cfg.dem, cfg.r_max,
+                                     geom, K_g)
+            state = state._replace(particles=ps)
+            dem_fn = _make_dem_fn(cfg, geom, dem_plan=plan)
 
-        def one(s, _):
-            return _one_sharded_step(s, cfg, ctx, n_loc, ex, dem_fn, geom)
+            def one(s, _):
+                return _one_sharded_step(s, cfg, ctx, n_loc, ex, dem_fn,
+                                         geom, migrate=False)
 
-        return lax.scan(one, state, None, length=n_steps, unroll=unroll)
+            state, d = lax.scan(one, state, None, length=sz,
+                                unroll=min(unroll, sz) if unroll > 1 else 1)
+            # chunk-boundary accounting rides the chunk's first step
+            d = d._replace(
+                n_shard_overflow=d.n_shard_overflow.at[0].add(
+                    lax.psum(n_mig + plan.plan.n_overflow, AXIS)),
+                n_contact_overflow=d.n_contact_overflow.at[0].add(
+                    lax.psum(plan.n_list_overflow, AXIS)),
+            )
+            diags.append(d)
+        d_all = jax.tree.map(lambda *xs: jnp.concatenate(xs), *diags)
+        return state, d_all
 
     sharded = jax.shard_map(
         body,
