@@ -64,15 +64,19 @@ def main():
         # tests/test_coupling_window.py).
         # dy_in_kernel: 3 per-dx deposit stacks instead of 9 per-(dx,dy),
         # worth ~5.4 ms in the round-3 combo (abl ND vs AL)
-        # planes_window=1536 (vs auto 2048 = 2.5x mean occupancy): 25%
-        # less one-hot staging work, measured 30.0 vs 32.3 ms/step
-        # same-process (abl WW vs WF, PERF.md round-4 batch 4); honesty
-        # guarded by the zero-overflow assertion below (a too-small
-        # window drops particles into n_coupling_overflow, never silent)
+        # planes_window auto (=2048): the 47^3 jittered lattice below packs
+        # up to 2043 particles into one occupied x-plane (measured host-side
+        # on this exact seed), so the 1536 window tuned on abl_r3's uniform
+        # cloud dropped 7,419 particles and tripped the overflow assertion
+        # (round-4 official bench crash, VERDICT r4 item 1). x-plane
+        # membership is stable in this settling config (no x-forcing), and
+        # the zero-overflow assertion below keeps the number honest either
+        # way. Rule: this config changes only together with a fresh passing
+        # end-to-end bench.py log in the same commit.
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="window", slot_capacity=4,
-                                   dy_in_kernel=True, planes_window=1536),
+                                   dy_in_kernel=True, planes_window=0),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
@@ -104,11 +108,14 @@ def main():
             carry_contact=True,
         ),
         pimple=PIMPLEConfig(
-            # tracked metric: n_correctors=1, justified by the convergence
-            # assertion below; `--correctors=2` measures the reference-like
-            # 2-corrector loop for the PERF.md honesty row
+            # tracked metric runs the reference-like 2-corrector PIMPLE loop
+            # (/root/reference/pimpleFoamYade/pimpleFoamYade.C:91-105);
+            # measured ~free under fftpcg (PERF.md round-4 batch 2 F3:
+            # 35.33 vs 35.37 ms/step; batch 4 W2: +0.4 ms), so there is no
+            # perf reason to keep the 1-corrector asterisk (VERDICT r4
+            # item 6). `--correctors=1` retained for ablation.
             n_outer=1,
-            n_correctors=2 if "--correctors=2" in sys.argv else 1,
+            n_correctors=1 if "--correctors=1" in sys.argv else 2,
             # fftpcg: spectral (matmul-DCT/Fourier) preconditioner — the
             # exact inverse of the mean-coefficient Laplacian. Measured
             # 35.4 vs 46.3 ms/step against the mgpcg 4+4 control in one

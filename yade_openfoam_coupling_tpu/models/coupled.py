@@ -89,9 +89,23 @@ class CaseConfig:
     # prints are not load-bearing; max-based health assertions still see
     # one honest sample per chunk.
     sampled_diagnostics: bool = False
+    # Masked-cell obstacle (immersed boundary): a host-side (nx,ny,nz)
+    # boolean array marking SOLID cells — the TPU-native stand-in for the
+    # reference's body-fitted internal geometry (OpenFOAM meshes any
+    # domain, `icoFoamYade.C:41-42`). See `ops/obstacle.py`. None = all
+    # fluid. compare=False: arrays have no unambiguous dataclass equality.
+    solid: object = dataclasses.field(default=None, compare=False)
 
     def periodic_axes(self):
         return self.bcs.periodic_axes()
+
+    def obstacle_masks(self):
+        """ObstacleMasks for `solid`, or None. Built at trace time (the
+        masks fold into the jitted program as constants)."""
+        if self.solid is None:
+            return None
+        from ..ops import obstacle as ob
+        return ob.build_masks(self.solid, self.bcs.periodic_axes())
 
 
 def _coupling_inputs(fs: FluidState, grid: Grid, bcs: FluidBCs, nu: float, dt,
@@ -180,6 +194,13 @@ def initialize_state(
     pressure (the reference has the same hazard: `initFields` sets
     alpha = 1 everywhere, `FoamYade.C:68`, regardless of particles)."""
     dt_arr = jnp.asarray(dt, jnp.float32)
+    if cfg.solid is not None:
+        # consistent initial state: no velocity in solid cells, no flux
+        # through blocked faces (the step maintains these invariants)
+        from ..ops import obstacle as ob
+        m = cfg.obstacle_masks()
+        fluid = fluid._replace(u=ob.mask_u(fluid.u, m),
+                               phi=ob.mask_flux(fluid.phi, m))
     if cfg.dem.shear_history and particles.shear_xi is None:
         sh = demod.make_shear_state(particles.n_capacity,
                                     cfg.dem.max_neighbors)
@@ -404,16 +425,19 @@ def coupled_step(
 
     # 5. fluid step
     u_prev = fs.u
+    masks = cfg.obstacle_masks()
     if fluid_fn is not None:
         fs2, info = fluid_fn(fs, dt)
         tb2 = tb
     elif cfg.solver == "piso":
-        fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso, ctx=ctx)
+        fs2, info = piso_step(fs, grid, bcs, tp.nu, dt, cfg.piso, ctx=ctx,
+                              masks=masks)
         tb2 = tb
     elif cfg.solver == "pimple":
         tb2 = turb_mod.correct(tb, fs, grid, bcs, tp.nu, dt, cfg.turbulence, ctx=ctx)
         g = jnp.asarray(cfg.gravity_fluid, fs.u.dtype)
-        fs2, info = pimple_step(fs, grid, bcs, tp.nu, tb2.nut, g, dt, cfg.pimple, ctx=ctx)
+        fs2, info = pimple_step(fs, grid, bcs, tp.nu, tb2.nut, g, dt, cfg.pimple, ctx=ctx,
+                                masks=masks)
     else:
         raise ValueError(f"unknown solver {cfg.solver!r}")
     fs2 = fs2._replace(u_old=u_prev)

@@ -108,17 +108,29 @@ def pimple_step(
     dt,
     cfg: PIMPLEConfig = PIMPLEConfig(),
     ctx=None,
+    masks=None,
 ) -> Tuple[FluidState, PressureSolveInfo]:
     """One PIMPLE step. `fs.alpha/u_source/u_source_drag/u_particle` must
     already hold this step's coupling output (the reference calls
     `setParticleAction` before the corrector loop,
-    `pimpleFoamYade.C:78-91`)."""
+    `pimpleFoamYade.C:78-91`).
+
+    `masks` activates the masked-cell obstacle treatment (see
+    `piso.piso_step` / `ops.obstacle`); single-device, explicit
+    diffusion only."""
     from ..parallel.ctx import LOCAL, LocalCtx
     ctx = ctx if ctx is not None else LOCAL
     assert not (cfg.implicit_diffusion and cfg.full_stress), (
         "implicit_diffusion requires full_stress=False: the explicit "
         "dev2-transpose term re-imposes the diffusion dt cap "
         "(PIMPLEConfig.implicit_diffusion docs)")
+    if masks is not None:
+        from ..ops import obstacle as ob
+        assert isinstance(ctx, LocalCtx), (
+            "masked-cell obstacles: single-device only")
+        assert not cfg.implicit_diffusion, (
+            "masked-cell obstacles: the Helmholtz momentum solves do not "
+            "carry the solid rows yet — use explicit diffusion")
     alpha = fs.alpha
     alpha_old = fs.alpha_old
     alpha_f = st.face_interp_all_padded(ctx.pad_s(alpha, _NEU))  # alphacf
@@ -189,6 +201,9 @@ def pimple_step(
         phic_forces = tuple(
             force_flux[a] + rAU_f[a] * g[a] for a in range(3)
         )
+        if masks is not None:
+            # body forces cannot push flux through blocked faces
+            phic_forces = ob.mask_flux(phic_forces, masks)
 
         if cfg.implicit_diffusion:
             # The predictor must SEE the current pressure/body forces
@@ -227,6 +242,8 @@ def pimple_step(
             u = HbyA + rAU[None] * st.reconstruct(
                 tuple(phic_forces[a] / rAU_f[a] - snp[a] for a in range(3))
             )
+            if masks is not None:
+                u = ob.mask_u(u, masks)
 
         p_outer = p
         if (_outer == 0 and cfg.p_extrapolate != 0.0
@@ -237,29 +254,53 @@ def pimple_step(
             phiHbyA = tuple(phiHbyA[a] + phic_forces[a] for a in range(3))
             # prescribe wall fluxes (constrainHbyA + fixedFluxPressure role)
             phiHbyA = st.constrain_flux(phiHbyA, bcs.u, ctx)
+            if masks is not None:
+                phiHbyA = ob.mask_flux(phiHbyA, masks)
             if _needs_adjust_phi(bcs):
                 # `if (p.needReference()) adjustPhi(...)`, pEqn.H:20-23
                 phiHbyA = st.adjust_phi(phiHbyA, bcs.u, grid, ctx, ctx.sum)
 
             gamma_p = tuple(alpha_f[a] * rAU_f[a] for a in range(3))
+            if masks is not None:
+                gamma_p = ob.mask_flux(gamma_p, masks)
             rhs = ddt_alpha + st.div_flux(
                 tuple(alpha_f[a] * phiHbyA[a] for a in range(3)), grid
             )
+            if masks is not None:
+                # solid cells carry no continuity equation (ddt_alpha may be
+                # nonzero there only if particles overlap the obstacle —
+                # masked out with the row)
+                rhs = rhs * masks.fluid
             res = pr.solve_pressure(
                 gamma_p, rhs, p, grid, bcs.p, pcfg,
                 pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
-                precond_bc=precond_bc,
+                precond_bc=precond_bc, solid=masks,
             )
             p = res.x
-            info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
+            # step-level solve info: the FIRST solve's initial residual,
+            # the LAST solve's final residual, and the TOTAL iterations —
+            # under multiple correctors the last solve alone is warm-started
+            # and converges at entry (final == initial), which would make a
+            # "did the step converge" assertion vacuous or falsely failing
+            info = PressureSolveInfo(
+                res.iters if info is None else info.iters + res.iters,
+                res.initial_residual if info is None else info.initial_residual,
+                res.residual)
 
             snp = st.face_grad_padded(ctx.pad_s(p, bcs.p), grid)
             # pEqn.flux()/alphacf = rAU_f * snGrad(p)
+            if masks is not None:
+                # the pressure flux rides the MASKED coefficient (gamma_p /
+                # alpha_f): an unmasked rAU_f would reopen blocked faces —
+                # snGrad(p) across a solid face is nonzero by construction
+                snp = ob.mask_flux(snp, masks)
             pflux_over_alpha = tuple(rAU_f[a] * snp[a] for a in range(3))
             phi = tuple(phiHbyA[a] - pflux_over_alpha[a] for a in range(3))
             u = HbyA + rAU[None] * st.reconstruct(
                 tuple((phic_forces[a] - pflux_over_alpha[a]) / rAU_f[a] for a in range(3))
             )
+            if masks is not None:
+                u = ob.mask_u(u, masks)
         if cfg.relax_p < 1.0 and not final:
             # p.relax(): blend toward the previous outer iterate (flux and
             # velocity above already used the unrelaxed solve, as OpenFOAM

@@ -143,15 +143,26 @@ def piso_step(
     dt,
     cfg: PISOConfig = PISOConfig(),
     ctx=None,
+    masks=None,
 ) -> Tuple[FluidState, PressureSolveInfo]:
     """One PISO time step (the fluid half of the icoFoamYade loop body,
     `icoFoamYade.C:77-140`). Coupling fields in `fs` are inputs; call
     the coupling engine first (as the reference calls `setParticleAction`
     before the momentum predictor, `icoFoamYade.C:74`).
 
-    `ctx` selects single-device BC ghosts (default) or shard halos."""
+    `ctx` selects single-device BC ghosts (default) or shard halos.
+    `masks` (an `ops.obstacle.ObstacleMasks`) activates the masked-cell
+    immersed-boundary treatment: velocity pinned in solid cells, fluxes
+    blocked at solid faces, solid pressure rows handled by
+    `solve_pressure(solid=...)` — the role of OpenFOAM's body-fitted
+    meshing of internal geometry (single-device only)."""
     from ..parallel.ctx import LOCAL, LocalCtx
     ctx = ctx if ctx is not None else LOCAL
+    if masks is not None:
+        from ..ops import obstacle as ob
+        assert isinstance(ctx, LocalCtx), (
+            "masked-cell obstacles: single-device only (masks are not "
+            "sliced per shard yet)")
     A, H = momentum_AH(fs, grid, bcs, nu, dt, cfg, ctx=ctx)
     rAU = 1.0 / A
     HbyA = rAU[None] * H
@@ -160,6 +171,8 @@ def piso_step(
     if cfg.momentum_predictor:
         gp = st.grad_scalar_padded(ctx.pad_s(fs.p, bcs.p), grid)
         u = HbyA - rAU[None] * gp
+        if masks is not None:
+            u = ob.mask_u(u, masks)
 
     p = fs.p
     phi = fs.phi
@@ -195,24 +208,38 @@ def piso_step(
             phiHbyA = tuple(
                 phiHbyA[a] + rAU_f[a] * ddtc[a] for a in range(3))
         phiHbyA = st.constrain_flux(phiHbyA, bcs.u, ctx)
+        if masks is not None:
+            # blocked-face flux pin (the obstacle's fixedFluxPressure role)
+            phiHbyA = ob.mask_flux(phiHbyA, masks)
         if _needs_adjust_phi(bcs):
             # inlet/outflow global mass balance (adjustPhi, icoFoamYade.C:108)
             phiHbyA = st.adjust_phi(phiHbyA, bcs.u, grid, ctx, ctx.sum)
         gamma_f = st.face_interp_all_padded(ctx.pad_s(rAU, _NEU))
+        if masks is not None:
+            gamma_f = ob.mask_flux(gamma_f, masks)
         rhs = st.div_flux(phiHbyA, grid)
         res = pr.solve_pressure(
             gamma_f, rhs, p, grid, bcs.p, pcfg,
             pad=lambda f: ctx.pad_s(f, bcs.p), reduce_sum=ctx.sum,
-            precond_bc=precond_bc,
+            precond_bc=precond_bc, solid=masks,
         )
         p = res.x
-        info = PressureSolveInfo(res.iters, res.initial_residual, res.residual)
+        # step-level info: first solve's initial residual, last solve's
+        # final residual, total iterations (see pimple_step — a warm-started
+        # later corrector converges at entry, so per-solve info is not a
+        # meaningful step convergence record)
+        info = PressureSolveInfo(
+            res.iters if info is None else info.iters + res.iters,
+            res.initial_residual if info is None else info.initial_residual,
+            res.residual)
 
         pp = ctx.pad_s(p, bcs.p)
         snp = st.face_grad_padded(pp, grid)
         phi = tuple(phiHbyA[a] - gamma_f[a] * snp[a] for a in range(3))
         gp = st.grad_scalar_padded(pp, grid)
         u = HbyA - rAU[None] * gp
+        if masks is not None:
+            u = ob.mask_u(u, masks)
 
     new = fs._replace(u=u, p=p, phi=phi)
     return new, info

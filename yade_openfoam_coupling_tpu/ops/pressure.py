@@ -588,6 +588,7 @@ def solve_pressure(
     reduce_sum: ReduceFn = _ident,
     nullspace: Optional[bool] = None,
     precond_bc: Optional[FieldBC] = None,
+    solid=None,
 ) -> CGResult:
     """Solve div(gamma_f grad p) = rhs.
 
@@ -595,6 +596,17 @@ def solve_pressure(
     the operator has the constant nullspace) subtracts the mean of rhs and
     pins the mean of p — the TPU-native equivalent of OpenFOAM's
     ``pEqn.setReference(pRefCell, pRefValue)`` (`icoFoamYade.C:123`).
+
+    ``solid`` (an `ops.obstacle.ObstacleMasks`) activates the masked-cell
+    obstacle treatment: the caller passes gamma_f already face-masked
+    (solid-touching faces carry zero coefficient), which makes solid rows
+    of the Laplacian identically zero; here those rows are replaced by a
+    scaled identity -s*p (s ~ the interior diagonal magnitude, keeping the
+    operator negative definite on the solid subspace and uniformly
+    conditioned), the RHS is zeroed on solid cells (so p_solid -> 0), the
+    preconditioner is restricted to the fluid subspace, and the nullspace
+    mean-pinning runs over FLUID cells only (the constant-on-fluid vector
+    is the actual nullspace of the masked operator).
     """
     pad = pad if pad is not None else default_pad(bc)
     if nullspace is None:
@@ -603,6 +615,19 @@ def solve_pressure(
             f.kind == DIRICHLET for pair in bc.faces for f in pair
         )
         nullspace = not has_dirichlet
+
+    fluid_m = None
+    s_scale = None
+    if solid is not None:
+        fluid_m = solid.fluid
+        # interior diagonal magnitude of the unmasked operator: sum_a
+        # 2*mean(gamma)/h_a^2 — keeps solid rows conditioned like fluid rows
+        s_scale = sum(
+            2.0 * jnp.mean(gamma_f[a]) / grid.spacing[a] ** 2
+            for a in range(3)
+        )
+        rhs = rhs * fluid_m
+        p0 = p0 * fluid_m
 
     # The ghost-cell operator is affine when Dirichlet values are nonzero;
     # CG needs a linear operator, so fold the constant A(0) into the RHS
@@ -613,17 +638,28 @@ def solve_pressure(
     hbc = bc.homogeneous()
 
     ncells_local = rhs.size
-    ncells = reduce_sum(jnp.asarray(float(ncells_local), rhs.dtype))
+    if solid is not None:
+        ncells = reduce_sum(jnp.asarray(
+            float(ncells_local - solid.n_solid), rhs.dtype))
+    else:
+        ncells = reduce_sum(jnp.asarray(float(ncells_local), rhs.dtype))
+
+    def _fluid_mean(f):
+        s = jnp.sum(f if fluid_m is None else f * fluid_m)
+        return reduce_sum(s) / ncells
 
     if nullspace:
-        mean_rhs = reduce_sum(jnp.sum(rhs)) / ncells
-        rhs = rhs - mean_rhs
-        mean_p0 = reduce_sum(jnp.sum(p0)) / ncells
-        p0 = p0 - mean_p0
+        rhs = rhs - _fluid_mean(rhs) * (1.0 if fluid_m is None else fluid_m)
+        p0 = p0 - _fluid_mean(p0) * (1.0 if fluid_m is None else fluid_m)
 
-    apply_A = lambda p: poisson_apply(
-        p, gamma_f, grid, pad, use_pallas=cfg.use_pallas
-    ) - bc_const
+    if solid is None:
+        apply_A = lambda p: poisson_apply(
+            p, gamma_f, grid, pad, use_pallas=cfg.use_pallas
+        ) - bc_const
+    else:
+        apply_A = lambda p: poisson_apply(
+            p, gamma_f, grid, pad, use_pallas=cfg.use_pallas
+        ) - bc_const - s_scale * (solid.solid * p)
 
     # Preconditioners act on the LOCAL block: under shard_map `rhs` is the
     # per-shard slab, so derive the preconditioner's grid from it (the MG
@@ -648,6 +684,14 @@ def solve_pressure(
     else:
         raise ValueError(f"unknown pressure solver {cfg.solver!r}")
 
+    if solid is not None:
+        # restrict the (unmasked-operator) preconditioner to the fluid
+        # subspace and invert the identity rows exactly; keeps every CG
+        # iterate fluid-supported up to the preconditioner's approximation
+        M_fluid = M
+        M = lambda r: (fluid_m * M_fluid(fluid_m * r)
+                       - (solid.solid * r) / s_scale)
+
     res = pcg(
         apply_A, rhs, p0,
         precond=M, reduce_sum=reduce_sum,
@@ -656,5 +700,7 @@ def solve_pressure(
     )
     x = res.x
     if nullspace:
-        x = x - reduce_sum(jnp.sum(x)) / ncells
+        x = x - _fluid_mean(x) * (1.0 if fluid_m is None else fluid_m)
+    if fluid_m is not None:
+        x = x * fluid_m
     return CGResult(x, res.iters, res.residual, res.initial_residual)
