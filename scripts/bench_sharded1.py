@@ -13,6 +13,7 @@ Usage: env PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_sharde
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -50,9 +51,13 @@ def main():
         # single-device-only; rebuild cadence is the sharded path's own)
         # round-4 refresh: packed_unbin dropped (measured -6.3 ms
         # regression, PERF round-4 batch 1), fftpcg pressure solver
+        # round-5: the window exchange is ported to the sharded path —
+        # measured against planes below (--exchange=planes to flip back)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4,
+                                   exchange=("planes" if "--exchange=planes"
+                                             in sys.argv else "window"),
+                                   slot_capacity=4,
                                    packed_bin="col", dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
@@ -117,8 +122,9 @@ def main():
         }), flush=True)
         return best
 
-    measure("per-step migrate+rebuild", cfg_step, 6)
-    measure("chunked K=10", cfg, 21)
+    ex = cfg.coupling.exchange
+    measure(f"per-step migrate+rebuild, {ex}", cfg_step, 6)
+    measure(f"chunked K=10, {ex}", cfg, 21)
 
 
 if __name__ == "__main__":

@@ -316,11 +316,14 @@ def test_shear_history_sharded_matches_single():
     assert float(jnp.sum(jnp.abs(s8.particles.shear_xi))) > 0.0
 
 
-def test_bench_scale_sharded_matches_single():
+@pytest.mark.parametrize("exchange", ["planes", "window"])
+def test_bench_scale_sharded_matches_single(exchange):
     """VERDICT r2 item 6: a bench-scale 1-vs-8 equivalence — thousands of
-    particles at realistic occupancy, flagship config (planes exchange +
-    fused kernel + shear history + persistent Verlet list single-device),
-    forced cross-slab traffic, all overflow counters zero."""
+    particles at realistic occupancy, flagship config (planes/window
+    exchange + fused kernel + shear history + persistent Verlet list
+    single-device), forced cross-slab traffic, all overflow counters zero.
+    The 'window' case covers the round-5 sharded port of the in-kernel MXU
+    staging exchange (VERDICT r4 item 5)."""
     grid = Grid.cube(24, 0.024)
     cfg = cd.CaseConfig(
         grid=grid,
@@ -329,7 +332,7 @@ def test_bench_scale_sharded_matches_single():
         solver="pimple",
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=6),
+                                   exchange=exchange, slot_capacity=6),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -384,21 +387,23 @@ def test_bench_scale_sharded_matches_single():
     assert (slab0[order] != slab1).sum() > 50
 
 
-def test_chunked_sharded_matches_single_chunked():
+@pytest.mark.parametrize("exchange", ["planes", "window"])
+def test_chunked_sharded_matches_single_chunked(exchange):
     """Chunked sharded scan (list_rebuild_steps=K: ONE migration + ONE
     frozen ghost-plan/Verlet build per chunk, extended-window exchange)
     vs the single-device statically-scheduled-rebuild scan with the same
     K. Covers: the ext_slab binning window (particles drift out of their
     owner slab between migrations and must STAY coupled), the periodic
     wrap of the window at the global x edges (staged px shifted into the
-    window frame), depth-2 deposit/interp halos, and the frozen DEM plan
-    with pid-keyed shear history."""
+    window frame; anchor-relative and frame-free for 'window'), depth-2
+    deposit/interp halos, and the frozen DEM plan with pid-keyed shear
+    history."""
     import dataclasses as _dc
     cfg = _gaussian_cfg()
     cfg = _dc.replace(
         cfg,
         coupling=_dc.replace(cfg.coupling, lag_alpha=True,
-                             exchange="planes", slot_capacity=6,
+                             exchange=exchange, slot_capacity=6,
                              dy_in_kernel=True),
         dem=_dc.replace(cfg.dem, neighbor="cells", cell_capacity=10,
                         max_neighbors=24, shear_history=True,

@@ -727,8 +727,24 @@ def _unbin_rows(per, cell_sorted, rank, keep, ncells, cfg: cp.CouplingConfig):
            & keep[:, None]).astype(per.dtype)
     zp = max(1, 128 // P)
     if cfg.packed_unbin and zp > 1 and ncells % zp == 0:
-        tr = per.reshape(P, ncells // zp, zp).transpose(1, 2, 0)
-        tr = tr.reshape(ncells // zp, zp * P)              # true 128 lanes
+        # Pack tr[m, j*P+q] = per[q, m*zp+j] WITHOUT the transpose: the
+        # transpose route materializes a (P, ncells/zp, zp) temp whose
+        # zp-lane minor pads 16x — 16.0 GB at 256^3, the round-5 1M OOM.
+        # Instead place each q-channel's zp columns into their lanes with
+        # a (zp, zp*P) one-hot matmul (HIGHEST: the values are f32 physics
+        # results; each output element is a single val*1 product, exact at
+        # f32 pass precision). One (m2, zp) 16x-padded temp (~1 GB at
+        # 256^3) lives per term instead of all P at once.
+        m2 = ncells // zp
+        per2 = per.reshape(P, ncells)
+        tr = None
+        for q in range(P):
+            colq = per2[q].reshape(m2, zp)
+            E_q = np.zeros((zp, zp * P), np.float32)
+            E_q[np.arange(zp), np.arange(zp) * P + q] = 1.0
+            t = jnp.dot(colq, jnp.asarray(E_q, per.dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+            tr = t if tr is None else tr + t
         g = tr[cell_c // zp].reshape(N, zp, n_res, cap)
         zoh = (jnp.mod(cell_c, zp)[:, None]
                == jnp.arange(zp)[None, :]).astype(per.dtype)

@@ -39,7 +39,7 @@ Physics parity: identical formulas to `gaussian_coupling`
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -307,6 +307,99 @@ def window_exchange_padded(
     return stks, combos, pres.reshape(n_pres, cap, nxl * ny * nz)
 
 
+class WindowBins(NamedTuple):
+    """Sorted per-plane window staging data (the window analog of
+    `coupling_planes.PlaneBins`)."""
+    dat_win: jnp.ndarray        # (nxl, C_w, W) plane-major window channels
+    order: jnp.ndarray
+    inv_order: jnp.ndarray
+    cell_sorted: jnp.ndarray    # local flat cell ids (ncells_loc = invalid)
+    rank: jnp.ndarray
+    keep: jnp.ndarray           # slot-kept AND inside the window
+    n_overflow: jnp.ndarray     # slot overflow + window overflow
+
+
+def window_bins(pf: cp.ParticleFields, grid: Grid, cap: int, W: int,
+                with_angvel: bool = False,
+                x_start=None, n_loc: Optional[int] = None,
+                wrap_x: bool = False) -> WindowBins:
+    """Build the per-plane window staging tensor. Full grid by default, or
+    — given ``x_start`` (traced shard window origin plane) and ``n_loc`` —
+    this shard's x-window of n_loc planes (`wrap_x` interprets the window
+    modulo the global nx, for the extended slab of the chunked sharded
+    scan). Positions ride RELATIVE to their anchor cell centre, so the
+    staged coordinates are frame-independent — a wrapped particle needs no
+    coordinate shift (unlike `bin_particles_planes`'s px_shift)."""
+    N = pf.pos.shape[0]
+    nx, ny, nz = grid.shape
+    nx_global = nx
+    if n_loc is not None:
+        nx = n_loc
+    ncells = nx * ny * nz
+    C_d = 10 if with_angvel else 7
+
+    base, inside = cp.locate(pf.pos, grid)
+    valid = pf.active & inside
+    bx = base[:, 0]
+    if x_start is not None:
+        bx = bx - x_start
+        if wrap_x:
+            bx = jnp.mod(bx, nx_global)
+        valid = valid & (bx >= 0) & (bx < nx)
+    cell = bx * (ny * nz) + base[:, 1] * nz + base[:, 2]
+    cell = jnp.where(valid, cell, ncells)
+    order = jnp.argsort(cell)
+    inv_order = jnp.argsort(order)
+    cell_s = cell[order]
+    rank_s = rank_in_sorted_segments(cell_s)
+    keep = (rank_s < cap) & (cell_s < ncells)
+
+    # --- per-plane windows -------------------------------------------------
+    starts = jnp.searchsorted(
+        cell_s, jnp.arange(nx + 1, dtype=jnp.int32) * (ny * nz)
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    window_over = jnp.sum(jnp.maximum(counts - W, 0))
+    slot_over = jnp.sum(((rank_s >= cap) & (cell_s < ncells))
+                        .astype(jnp.int32))
+
+    base_s = base[order]
+    centre = jnp.asarray(grid.origin, pf.pos.dtype) + (
+        base_s.astype(pf.pos.dtype) + 0.5
+    ) * jnp.asarray(grid.spacing, pf.pos.dtype)
+    rel_s = pf.pos[order] - centre                      # (N, 3) anchor-rel
+    cols = [rel_s, pf.vel[order], pf.radius[order][:, None]]
+    if with_angvel:
+        cols.append(pf.angvel[order])
+    dat = jnp.concatenate(cols, axis=-1)                # (N, C_d)
+    hi, lo = _hi_lo(dat)
+    yv = jnp.where(keep, base_s[:, 1], -1).astype(pf.pos.dtype)
+    zv = base_s[:, 2].astype(pf.pos.dtype)
+    rv = rank_s.astype(pf.pos.dtype)
+    dat_all = jnp.concatenate(
+        [hi, lo, yv[:, None], zv[:, None], rv[:, None]], axis=-1
+    ).T                                                 # (C_w, N)
+
+    idx = jnp.minimum(starts[:-1, None]
+                      + jnp.arange(W, dtype=jnp.int32)[None, :], N - 1)
+    in_w = (jnp.arange(W, dtype=jnp.int32)[None, :]
+            < jnp.minimum(counts, W)[:, None])          # (nx, W)
+    dat_win = dat_all[:, idx]                           # (C_w, nx, W)
+    # clip-duplicated / beyond-count rows match nothing (y = -1)
+    ych = 2 * C_d
+    dat_win = dat_win.at[ych].set(jnp.where(in_w, dat_win[ych], -1.0))
+    # plane-major layout for the kernel's per-plane block specs
+    dat_win = jnp.transpose(dat_win, (1, 0, 2))         # (nx, C_w, W)
+
+    # window-dropped rows must read found=False downstream: the unbin keep
+    # also requires the row's window position to fit in W
+    w_pos = jnp.arange(N, dtype=jnp.int32) - starts[
+        jnp.minimum(cell_s // (ny * nz), nx - 1)]
+    keep_u = keep & (w_pos < W)
+    return WindowBins(dat_win, order, inv_order, cell_s, rank_s, keep_u,
+                       slot_over + window_over)
+
+
 def gaussian_coupling_window(
     pf: cp.ParticleFields,
     fluid_u: jnp.ndarray,
@@ -333,56 +426,8 @@ def gaussian_coupling_window(
     cap = cfg.slot_capacity
     ncells = grid.ncells
     Vc = grid.cell_volume
-    C_d = 10 if cfg.use_torque else 7
     W = window_size(N, nx, cfg.planes_window)
-
-    # --- locate + sort (identical to bin_particles_planes) ----------------
-    base, inside = cp.locate(pf.pos, grid)
-    valid = pf.active & inside
-    cell = base[:, 0] * (ny * nz) + base[:, 1] * nz + base[:, 2]
-    cell = jnp.where(valid, cell, ncells)
-    order = jnp.argsort(cell)
-    inv_order = jnp.argsort(order)
-    cell_s = cell[order]
-    rank_s = rank_in_sorted_segments(cell_s)
-    keep = (rank_s < cap) & (cell_s < ncells)
-
-    # --- per-plane windows -------------------------------------------------
-    starts = jnp.searchsorted(
-        cell_s, jnp.arange(nx + 1, dtype=jnp.int32) * (ny * nz)
-    ).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
-    window_over = jnp.sum(jnp.maximum(counts - W, 0))
-    slot_over = jnp.sum(((rank_s >= cap) & (cell_s < ncells))
-                        .astype(jnp.int32))
-
-    base_s = base[order]
-    centre = jnp.asarray(grid.origin, pf.pos.dtype) + (
-        base_s.astype(pf.pos.dtype) + 0.5
-    ) * jnp.asarray(grid.spacing, pf.pos.dtype)
-    rel_s = pf.pos[order] - centre                      # (N, 3) anchor-rel
-    cols = [rel_s, pf.vel[order], pf.radius[order][:, None]]
-    if cfg.use_torque:
-        cols.append(pf.angvel[order])
-    dat = jnp.concatenate(cols, axis=-1)                # (N, C_d)
-    hi, lo = _hi_lo(dat)
-    yv = jnp.where(keep, base_s[:, 1], -1).astype(pf.pos.dtype)
-    zv = base_s[:, 2].astype(pf.pos.dtype)
-    rv = rank_s.astype(pf.pos.dtype)
-    dat_all = jnp.concatenate(
-        [hi, lo, yv[:, None], zv[:, None], rv[:, None]], axis=-1
-    ).T                                                 # (C_w, N)
-
-    idx = jnp.minimum(starts[:-1, None]
-                      + jnp.arange(W, dtype=jnp.int32)[None, :], N - 1)
-    in_w = (jnp.arange(W, dtype=jnp.int32)[None, :]
-            < jnp.minimum(counts, W)[:, None])          # (nx, W)
-    dat_win = dat_all[:, idx]                           # (C_w, nx, W)
-    # clip-duplicated / beyond-count rows match nothing (y = -1)
-    ych = 2 * C_d
-    dat_win = dat_win.at[ych].set(jnp.where(in_w, dat_win[ych], -1.0))
-    # plane-major layout for the kernel's per-plane block specs
-    dat_win = jnp.transpose(dat_win, (1, 0, 2))         # (nx, C_w, W)
+    bins = window_bins(pf, grid, cap, W, with_angvel=cfg.use_torque)
 
     # --- fused kernel + epilogue (planes machinery) ------------------------
     in_fields = [fluid_u, grad_p, div_tau]
@@ -394,7 +439,7 @@ def gaussian_coupling_window(
     F = cp._stack_channels(in_fields)
 
     stks, combos, pres = window_exchange_padded(
-        pad_wrap_zero(F, periodic), dat_win, grid, periodic, cfg, 0,
+        pad_wrap_zero(F, periodic), bins.dat_win, grid, periodic, cfg, 0,
         nu, rho_f, interpret=interpret, w_chunk=w_chunk)
     fields = _stack_epilogue(stks, combos).reshape(8, ncells)
 
@@ -404,13 +449,10 @@ def gaussian_coupling_window(
     u_source_drag = fields[4]
     u_source = u_source_drag[None] * u_particle + fields[5:8]
 
-    # window-dropped rows must read found=False: clamp their rank out of
-    # the one-hot range so _unbin_rows' keep selection zeroes them
-    w_pos = jnp.arange(N, dtype=jnp.int32) - starts[
-        jnp.minimum(cell_s // (ny * nz), nx - 1)]
-    keep_u = keep & (w_pos < W)
-    res_sorted = _unbin_rows(pres, cell_s, rank_s, keep_u, ncells, cfg)
-    res = res_sorted[inv_order]
+    # window-dropped rows read found=False (bins.keep excludes them)
+    res_sorted = _unbin_rows(pres, bins.cell_sorted, bins.rank, bins.keep,
+                             ncells, cfg)
+    res = res_sorted[bins.inv_order]
 
     n_res = pres.shape[0]
     if n_res == 4:
@@ -427,5 +469,5 @@ def gaussian_coupling_window(
         u_source=u_source.reshape((3,) + grid.shape),
         u_source_drag=u_source_drag.reshape(grid.shape),
         found=res_found > 0.5,
-        n_overflow=slot_over + window_over,
+        n_overflow=bins.n_overflow,
     )

@@ -282,10 +282,20 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
     halo (ctx.pad_s_x2), deposits halo-reduce 2 planes each way, and
     under periodic x the window wraps (bin_particles_planes wrap_x).
     Drift past the window drops the particle from coupling and shows up
-    in n_found — the same staleness contract as the frozen Verlet list."""
+    in n_found — the same staleness contract as the frozen Verlet list.
+
+    With ``cfg.coupling.exchange == 'window'`` the slab runs the round-4
+    in-kernel MXU staging instead of the HBM slot-table scatter
+    (`ops/coupling_window.py`): the slab population is sorted once, each
+    local plane's window is gathered, and `window_exchange_padded` builds
+    the slot planes in VMEM — multi-chip inherits the single-chip exchange
+    win (VERDICT r4 item 5). Binning/unbinning and the deposit halo dance
+    are shared with the planes variant below; the window's anchor-RELATIVE
+    staged coordinates make the periodic wrap frame-free."""
     import jax as _jax
 
     from ..ops import coupling_planes as cpp
+    from ..ops import coupling_window as cpw
 
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
@@ -297,6 +307,7 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
     cap = ccfg.slot_capacity
     H = 2 if ext_slab else 1          # deposit halo depth
     nxl = n_loc + (2 if ext_slab else 0)   # binned window planes
+    use_window = ccfg.exchange == "window"
 
     def ex(fs, ps, dt) -> cp.CouplingResult:
         interpret = _jax.default_backend() != "tpu"
@@ -306,11 +317,18 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
         pf = cp.ParticleFields(ps.pos, ps.vel, ps.angvel, ps.radius, ps.active)
         start = lax.axis_index(AXIS) * n_loc
         x_off = start - 1 if ext_slab else start
-        bins = cpp.bin_particles_planes(pf, grid, cap,
-                                        x_start=x_off, n_loc=nxl,
-                                        with_angvel=ccfg.use_torque,
-                                        packed_bin=ccfg.packed_bin,
-                                        wrap_x=ext_slab and periodic[0])
+        if use_window:
+            W = cpw.window_size(pf.pos.shape[0], nxl, ccfg.planes_window)
+            bins = cpw.window_bins(pf, grid, cap, W,
+                                   with_angvel=ccfg.use_torque,
+                                   x_start=x_off, n_loc=nxl,
+                                   wrap_x=ext_slab and periodic[0])
+        else:
+            bins = cpp.bin_particles_planes(pf, grid, cap,
+                                            x_start=x_off, n_loc=nxl,
+                                            with_angvel=ccfg.use_torque,
+                                            packed_bin=ccfg.packed_bin,
+                                            wrap_x=ext_slab and periodic[0])
 
         comps = [fs.u, grad_p, div_tau]
         if ccfg.use_torque:
@@ -325,7 +343,15 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
         chans.append(pad(fs.alpha, gbc))
         Fp = jnp.stack(chans)                       # (C_in, nxl+2, ny+2, nz+2)
 
-        if ccfg.fused_planes:
+        if use_window:
+            stks, combos, pres = cpw.window_exchange_padded(
+                Fp, bins.dat_win, grid, periodic, ccfg, x_off,
+                tp.nu, tp.rho_f, interpret=interpret,
+            )
+            force, found = pres[0:3], pres[pres.shape[0] - 1]
+            torque = (pres[3:6] if ccfg.use_torque
+                      else jnp.zeros_like(force))
+        elif ccfg.fused_planes:
             stks, combos, pres = cpp.fused_exchange_padded(
                 Fp, bins.D, grid, periodic, ccfg, x_off, tp.nu, tp.rho_f,
                 interpret=interpret,
@@ -396,10 +422,8 @@ def make_sharded_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
     grid, bcs, tp = cfg.grid, cfg.bcs, cfg.transport
     ccfg = cfg.coupling
     if ccfg.gaussian and ccfg.exchange in ("planes", "window"):
-        # 'window' (the single-device in-kernel-staging variant) has no
-        # sharded counterpart yet; per shard the slab population is small
-        # enough that the slot-plane staging scatter is not the bottleneck
-        # — run the physically identical sharded planes machinery.
+        # 'window' runs the in-kernel MXU staging per slab (round-5 port);
+        # 'planes' keeps the slot-table scatter machinery.
         return _make_planes_exchange(cfg, ctx, n_loc, ext_slab=ext_slab)
     assert not ext_slab, (
         "the chunked sharded scan (list_rebuild_steps > 0) requires the "
