@@ -81,11 +81,11 @@ _SLOW = {
     ("test_sharding.py", "test_bench_scale_sharded_matches_single"),
     ("test_sharding.py", "test_gaussian_planes_sharded_matches_single"),
     ("test_sharding.py", "test_fftpcg_sharded_matches_single"),
-    # test_gaussian_4way_sharded_matches_single stays in the default set:
-    # the fast sharding sentinel (60 s)
+    ("test_sharding.py", "test_gaussian_4way_sharded_matches_single"),
     ("test_sharding.py", "test_point_force_sharded_matches_single"),
     ("test_sharding.py", "test_shear_history_sharded_matches_single"),
-    ("test_sharding.py", "test_migration_across_slabs_matches_single"),
+    # test_migration_across_slabs_matches_single stays in the default set:
+    # the fast sharding sentinel (~32 s, exercises migration + halos)
     ("test_implicit_diffusion.py", "test_kepsilon_holds_courant_dt"),
     ("test_pressure.py", "test_chebyshev_smoother_converges"),
     ("test_pressure.py", "test_fixed_iters_matches_while_loop"),
@@ -125,6 +125,9 @@ _SLOW = {
     ("test_sharded_checkpoint.py", "test_sharded_run_checkpoint_resume"),
     ("test_dem_shear.py", "test_shear_history_persists_across_rebuilds"),
     ("test_obstacle.py", "test_flow_past_block_mass_and_drag"),
+    ("test_obstacle.py", "test_coupled_step_with_solid_config"),
+    ("test_more_coverage.py", "test_fluidized_bed_with_inlet"),
+    ("test_more_coverage.py", "test_cli_pimplefoam_smoke"),
 }
 
 

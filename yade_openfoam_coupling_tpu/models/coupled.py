@@ -202,8 +202,12 @@ def initialize_state(
         fluid = fluid._replace(u=ob.mask_u(fluid.u, m),
                                phi=ob.mask_flux(fluid.phi, m))
     if cfg.dem.shear_history and particles.shear_xi is None:
-        sh = demod.make_shear_state(particles.n_capacity,
-                                    cfg.dem.max_neighbors)
+        # shear arrays ride the per-substep CONTACT list, whose width is
+        # the refined compaction (DEMConfig.refined_neighbors) when active
+        M_eff = (cfg.dem.refined_neighbors
+                 if 0 < cfg.dem.refined_neighbors < cfg.dem.max_neighbors
+                 else cfg.dem.max_neighbors)
+        sh = demod.make_shear_state(particles.n_capacity, M_eff)
         particles = particles._replace(shear_xi=sh.xi, shear_ids=sh.ids,
                                        shear_wall=sh.xi_wall)
     if cfg.dem.list_reuse and particles.nbr is None:
