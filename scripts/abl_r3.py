@@ -292,6 +292,14 @@ def main():
     if sel is None or "W2" in (sel or []):
         # corrector honesty at the flipped (window+fftpcg) bench config
         measure("W2 WF + n_correctors=2", _window_cfg(ncorr=2))
+    if sel is None or "DW" in (sel or []):
+        # round-5 candidate: the bench (W2) config with the DYNAMIC
+        # per-plane trip-count staging loop (cf. static W2 control
+        # back-to-back; coupling_window._window_kernel dynamic=True).
+        c = _window_cfg(ncorr=2)
+        measure("DW W2 + window_dynamic", dataclasses.replace(
+            c, coupling=dataclasses.replace(c.coupling,
+                                            window_dynamic=True)))
     if sel is None or "WW" in (sel or []):
         # static window 1536 (vs auto 2048 = 2.5x mean): 25% less one-hot
         # MXU staging work; ovf must stay 0 for the cut to be honest

@@ -63,7 +63,9 @@ def main():
         # regression, PERF round-4 batch 1), fftpcg (batch-2 winner)
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
-                                   exchange="planes", slot_capacity=4,
+                                   exchange=("planes" if "--exchange=planes"
+                                             in sys.argv else "window"),
+                                   slot_capacity=4,
                                    packed_bin="col", dy_in_kernel=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),

@@ -137,6 +137,52 @@ def test_window_size_auto():
     assert cw.window_size(1_000_000, 256, 10_000) == 10_240
 
 
+def test_window_dynamic_counts_match_static():
+    """The dynamic per-plane trip-count staging loop (window_dynamic,
+    default) must be bitwise-equivalent to the static W/w_chunk loop:
+    skipped chunks hold only rows past the plane's population, which carry
+    y = -1 and contribute nothing. Distribution stresses the skip logic:
+    empty planes, a full plane, and a window-overflowing plane."""
+    grid = Grid.cube(8, 0.008)
+    periodic = (True, True, False)
+    n = 48
+    rng = np.random.RandomState(7)
+    # plane 1: 40 particles (> planes_window 32 -> overflow); plane 5: 8;
+    # all other planes empty
+    px = np.concatenate([np.full(40, 1.5), np.full(8, 5.5)])
+    pos = np.stack([
+        grid.origin[0] + px * grid.spacing[0],
+        rng.uniform(grid.origin[1] + 0.1 * grid.lengths[1],
+                    grid.origin[1] + 0.9 * grid.lengths[1], n),
+        rng.uniform(grid.origin[2] + 0.1 * grid.lengths[2],
+                    grid.origin[2] + 0.9 * grid.lengths[2], n),
+    ], -1)
+    pf = cp.ParticleFields(
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(rng.randn(n, 3) * 1e-3, jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.full((n,), 3e-4, jnp.float32),
+        jnp.ones((n,), bool))
+    prev_alpha = jnp.ones(grid.shape, jnp.float32) * 0.97
+    u, gp, dtau, ddtu, curl = _fields(grid, seed=9)
+    base = dict(gaussian=True, lag_alpha=True, stencil_shape="sphere2",
+                slot_capacity=8, exchange="window", planes_window=32)
+    cfg_dyn = cp.CouplingConfig(**base, window_dynamic=True)
+    cfg_sta = cp.CouplingConfig(**base, window_dynamic=False)
+    args = (pf, u, gp, dtau, ddtu, curl, grid, periodic, 1e-6, 1000.0,
+            1e-4)
+    dyn = cw.gaussian_coupling_window(*args, cfg_dyn, prev_alpha=prev_alpha,
+                                      interpret=True, w_chunk=16)
+    sta = cw.gaussian_coupling_window(*args, cfg_sta, prev_alpha=prev_alpha,
+                                      interpret=True, w_chunk=16)
+    assert int(dyn.n_overflow) == int(sta.n_overflow) == 40 - 32
+    for name in ("found", "alpha", "force", "u_particle", "u_source",
+                 "u_source_drag"):
+        np.testing.assert_array_equal(np.asarray(getattr(dyn, name)),
+                                      np.asarray(getattr(sta, name)),
+                                      err_msg=name)
+
+
 def test_window_chunked_staging_matches_unchunked():
     """The fori_loop W-chunked staging path (the 256^3 VMEM fix) must be
     bitwise-equivalent to single-shot staging: same one-hot matmuls, only

@@ -142,6 +142,15 @@ class CouplingConfig:
     # rounded). Population beyond it is counted in n_overflow and
     # uncoupled for the step, like slot_capacity.
     planes_window: int = 0
+    # 'window' exchange: stage each plane's window in 512-row chunks under
+    # a DYNAMIC trip-count loop (per-plane chunk counts ride SMEM) so a
+    # plane pays only ceil(count/chunk) staging matmuls instead of W/chunk.
+    # Exact (skipped rows carry y=-1 and match nothing); lattice-seeded
+    # benchmarks put ~0 particles on most planes, so staging work drops
+    # ~2.5x. False = static W/chunk loop (ablation control). Default False
+    # until the TPU ablation + a fresh passing bench.py log land (repo
+    # rule: official-config flips ship with the log).
+    window_dynamic: bool = False
 
 
 class ParticleFields(NamedTuple):

@@ -159,9 +159,10 @@ def _stage_mxu(dw, cap, C_d, ny, nz, dtype):
     return jnp.stack(D)                                 # (C_d, cap, ny, nz)
 
 
-def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
-                   pres_ref, *, grid: Grid, periodic, offsets, combos, cap,
-                   C_in, C_d, cell_volume, nu, rho_f, cfg, w_chunk=0):
+def _window_kernel(xoff_ref, nch_ref, fm_ref, f0_ref, fp_ref, dat_ref,
+                   stk_ref, pres_ref, *, grid: Grid, periodic, offsets,
+                   combos, cap, C_in, C_d, cell_volume, nu, rho_f, cfg,
+                   w_chunk=0, dynamic=False):
     """One pass per x-plane: MXU-stage the window into slot planes, then
     interpolate + force laws + deposit (the `_fused_kernel` body).
 
@@ -170,15 +171,22 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
     at 256^3 the W=10240 one-hot intermediates otherwise blow Mosaic's
     register allocator (measured: 119 MB of spill slots, VMEM OOM at
     164/128 MB) — chunking bounds the live set at the 128^3-proven
-    Wc-sized shapes while keeping the op count constant."""
+    Wc-sized shapes while keeping the op count constant.
+
+    ``dynamic``: the trip count is this plane's ceil(count/w_chunk) read
+    from SMEM (``nch_ref``) instead of the static W/w_chunk — a plane pays
+    staging only for its actual population (rows past the count carry
+    y = -1 inside their chunk, whole empty chunks are skipped). Exact by
+    construction; Mosaic lowers dynamic fori_loop bounds fine
+    (scripts/proto_dynwin.py)."""
     ny, nz = stk_ref.shape[3], stk_ref.shape[4]
     i = pl.program_id(0)
     dtype = stk_ref.dtype
     W = dat_ref.shape[2]
     C_w = dat_ref.shape[1]
 
-    if w_chunk and w_chunk < W:
-        n_ch = W // w_chunk
+    if w_chunk and (dynamic or w_chunk < W):
+        n_ch = nch_ref[i] if dynamic else W // w_chunk
 
         def body(k, D):
             # slice the REF (Mosaic lowers pl.ds ref windows, not value
@@ -188,7 +196,8 @@ def _window_kernel(xoff_ref, fm_ref, f0_ref, fp_ref, dat_ref, stk_ref,
 
         D = jax.lax.fori_loop(
             0, n_ch, body,
-            jnp.zeros((C_d, cap, ny, nz), jnp.float32))
+            jnp.zeros((C_d, cap, ny, nz), jnp.float32),
+            unroll=False)
     else:
         D = _stage_mxu(dat_ref[0], cap, C_d, ny, nz, dtype)
 
@@ -254,6 +263,8 @@ def window_exchange_padded(
     *,
     interpret: bool = False,
     w_chunk: Optional[int] = None,    # None = auto; tests force small chunks
+    counts=None,                      # (nxl,) per-plane populations -> the
+                                      # dynamic trip-count staging loop
 ):
     """-> (stks, combos, pres) exactly like
     `coupling_planes.fused_exchange_padded`, staging from windows."""
@@ -276,10 +287,21 @@ def window_exchange_padded(
         w_chunk = 0
         if W > 2048:
             w_chunk = next(c for c in (2048, 1536, 1024, 512) if W % c == 0)
+        elif counts is not None and W % 512 == 0:
+            # dynamic mode chunks every window (512 grain) so empty planes
+            # skip staging entirely
+            w_chunk = 512
+    dynamic = counts is not None and w_chunk > 0
+    if dynamic:
+        nch_arr = jnp.ceil(
+            jnp.clip(counts, 0, W).astype(jnp.float32) / float(w_chunk)
+        ).astype(jnp.int32)
+    else:
+        nch_arr = jnp.zeros((nxl,), jnp.int32)  # unread
     kernel = partial(_window_kernel, grid=grid, periodic=periodic,
                      offsets=offsets, combos=combos, cap=cap, C_in=C_in,
                      C_d=C_d, cell_volume=grid.cell_volume, nu=nu,
-                     rho_f=rho_f, cfg=cfg, w_chunk=w_chunk)
+                     rho_f=rho_f, cfg=cfg, w_chunk=w_chunk, dynamic=dynamic)
     smem = ({"memory_space": pltpu.SMEM} if (_COMPILER_KW and not interpret)
             else {})
     stks, pres = pl.pallas_call(
@@ -287,6 +309,7 @@ def window_exchange_padded(
         grid=(nxl,),
         in_specs=[
             pl.BlockSpec((1,), lambda i: (0,), **smem),
+            pl.BlockSpec((nxl,), lambda i: (0,), **smem),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 1, 0, 0)),
             pl.BlockSpec((C_in, 1, ny + 2, nz + 2), lambda i: (0, i + 2, 0, 0)),
@@ -303,7 +326,7 @@ def window_exchange_padded(
         ],
         interpret=interpret,
         **({} if interpret else _COMPILER_KW),
-    )(xoff_arr, Fp, Fp, Fp, dat_win)
+    )(xoff_arr, nch_arr, Fp, Fp, Fp, dat_win)
     return stks, combos, pres.reshape(n_pres, cap, nxl * ny * nz)
 
 
@@ -317,6 +340,7 @@ class WindowBins(NamedTuple):
     rank: jnp.ndarray
     keep: jnp.ndarray           # slot-kept AND inside the window
     n_overflow: jnp.ndarray     # slot overflow + window overflow
+    counts: jnp.ndarray         # (nx,) per-plane populations (pre-clip)
 
 
 def window_bins(pf: cp.ParticleFields, grid: Grid, cap: int, W: int,
@@ -397,7 +421,7 @@ def window_bins(pf: cp.ParticleFields, grid: Grid, cap: int, W: int,
         jnp.minimum(cell_s // (ny * nz), nx - 1)]
     keep_u = keep & (w_pos < W)
     return WindowBins(dat_win, order, inv_order, cell_s, rank_s, keep_u,
-                       slot_over + window_over)
+                       slot_over + window_over, counts)
 
 
 def gaussian_coupling_window(
@@ -440,7 +464,8 @@ def gaussian_coupling_window(
 
     stks, combos, pres = window_exchange_padded(
         pad_wrap_zero(F, periodic), bins.dat_win, grid, periodic, cfg, 0,
-        nu, rho_f, interpret=interpret, w_chunk=w_chunk)
+        nu, rho_f, interpret=interpret, w_chunk=w_chunk,
+        counts=bins.counts if cfg.window_dynamic else None)
     fields = _stack_epilogue(stks, combos).reshape(8, ncells)
 
     pvol, up = fields[0], fields[1:4]

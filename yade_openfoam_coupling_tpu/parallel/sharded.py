@@ -347,6 +347,7 @@ def _make_planes_exchange(cfg: cd.CaseConfig, ctx: ShardCtx, n_loc: int,
             stks, combos, pres = cpw.window_exchange_padded(
                 Fp, bins.dat_win, grid, periodic, ccfg, x_off,
                 tp.nu, tp.rho_f, interpret=interpret,
+                counts=bins.counts if ccfg.window_dynamic else None,
             )
             force, found = pres[0:3], pres[pres.shape[0] - 1]
             torque = (pres[3:6] if ccfg.use_torque
