@@ -300,6 +300,13 @@ def main():
         measure("DW W2 + window_dynamic", dataclasses.replace(
             c, coupling=dataclasses.replace(c.coupling,
                                             window_dynamic=True)))
+    if sel is None or "UN" in (sel or []):
+        # round-5 candidate: fully unrolled DEM substep scan (no carry
+        # round-trip per substep; scripts/micro_dem1m_b.py measured
+        # 978 -> 690 ms at 1M/4sub). Cost at 100k unknown — measure.
+        c = _window_cfg(ncorr=2)
+        measure("UN W2 + substep_unroll", dataclasses.replace(
+            c, dem=dataclasses.replace(c.dem, substep_unroll=True)))
     if sel is None or "WW" in (sel or []):
         # static window 1536 (vs auto 2048 = 2.5x mean): 25% less one-hot
         # MXU staging work; ovf must stay 0 for the cut to be honest

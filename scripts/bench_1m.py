@@ -75,6 +75,10 @@ def main():
             # distance-refined candidate rows
             list_rebuild_steps=5, refined_neighbors=4,
             carry_contact=True,
+            # round-5: unrolled substep scan (micro_dem1m_b.py: the rolled
+            # 4-substep scan pays ~72 ms/substep of carry round-trips at
+            # 1M — 978 vs 690 ms unrolled)
+            substep_unroll="--no-unroll" not in sys.argv,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

@@ -1,5 +1,6 @@
 """Verlet neighbor-list path: equivalence with all-pairs forces."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -373,3 +374,49 @@ def test_carry_contact_matches_uncarried():
     np.testing.assert_allclose(np.asarray(results[True].fluid.p),
                                np.asarray(results[False].fluid.p),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_substep_unroll_bit_identical():
+    """DEMConfig.substep_unroll only changes the lax.scan unroll schedule —
+    same math, so pos/vel/angvel (and carried force / shear state) must
+    match to FMA-reassociation noise across the plain, carry_contact,
+    shear_history, and dt_seq paths."""
+    import dataclasses
+
+    rng = np.random.RandomState(11)
+    N = 60
+    grid = Grid.cube(12, 1.0)
+    r = 0.03
+    pos = jnp.asarray(rng.uniform(0.1, 0.9, (N, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.2, (N, 3)), jnp.float32)
+    ang = jnp.asarray(rng.normal(0, 0.2, (N, 3)), jnp.float32)
+    rad = jnp.full((N,), r, jnp.float32)
+    act = jnp.ones((N,), bool)
+    hydro = dem.DEMForces(jnp.asarray(rng.normal(0, 1e-6, (N, 3)),
+                                      jnp.float32), jnp.zeros((N, 3)))
+    dt = dem.critical_dt(r, _params())
+
+    def run(cfg, **kw):
+        return dem.dem_substeps(pos, vel, ang, rad, act, hydro, grid, cfg,
+                                dt, 4, r, **kw)
+
+    base = dem.DEMConfig(params=_params(), neighbor="cells",
+                         cell_capacity=16, max_neighbors=16,
+                         wall_axes=(True,) * 3)
+    for variant in ("plain", "carry", "shear", "dtseq"):
+        cfg = base
+        kw = {}
+        if variant == "carry":
+            cfg = dataclasses.replace(cfg, carry_contact=True)
+        elif variant == "shear":
+            cfg = dataclasses.replace(cfg, shear_history=True)
+            kw["shear"] = dem.make_shear_state(N, base.max_neighbors)
+        elif variant == "dtseq":
+            kw["dt_seq"] = jnp.asarray([dt, dt, dt * 0.5, 0.0], jnp.float32)
+        out_r = run(cfg, **kw)
+        out_u = run(dataclasses.replace(cfg, substep_unroll=True), **kw)
+        for a, b in zip(jax.tree_util.tree_leaves(out_r),
+                        jax.tree_util.tree_leaves(out_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=variant)

@@ -192,6 +192,16 @@ class DEMConfig:
     # with the shear spring, which is otherwise undamped tangentially).
     # Default 0 keeps the round-1 dynamics bit-for-bit.
     cundall_damping: float = 0.0
+    # Fully unroll the substep lax.scan(s) (jax.lax.scan unroll=True):
+    # identical math (FMA-reassociation-level numerics only), but XLA
+    # schedules the substeps as straight-line
+    # code instead of a rolled loop that round-trips the (pos, vel, angvel,
+    # a, aw, fc, tc) carry (7 x N x 3 f32) through the loop state each
+    # iteration. Measured at 1M particles / 4 substeps: 978 -> 690 ms
+    # (scripts/micro_dem1m_b.py, v5e) — the carry copies cost ~72 ms per
+    # substep at that scale. Costs compile time (body duplicated n_sub
+    # times); keep False for large n_sub or memory-tight configs.
+    substep_unroll: bool = False
 
 
 # dense-roll candidate table budget: the transposed (nbin*cap, 27) gather
@@ -1042,6 +1052,7 @@ def dem_substeps(
     assert rem == 0, f"n_sub={n_sub} not divisible by list_rebuild_every={every}"
     # per-substep dt rows for the chunk scans (None = closure scalar dt_dem)
     dt_rows = None if dt_seq is None else jnp.reshape(dt_seq, (n_chunks, every))
+    unroll = True if cfg.substep_unroll else 1
 
     if cfg.shear_history:
         assert use_list and cfg.contact_mode == "substep", (
@@ -1095,12 +1106,14 @@ def dem_substeps(
                 return (pos_n, vel_n, angvel_n, a2, aw2, xi2, xw2), None
 
             (pos, vel, angvel, _, _, xi, xw), _ = jax.lax.scan(
-                body, (pos, vel, angvel, a0, aw0, xi, xw), dt_row, length=every
+                body, (pos, vel, angvel, a0, aw0, xi, xw), dt_row,
+                length=every, unroll=unroll
             )
             return (pos, vel, angvel, ShearState(xi, keys, xw)), overflow
 
         (pos, vel, angvel, shear), overflows = jax.lax.scan(
-            chunk_h, (pos, vel, angvel, shear), dt_rows, length=n_chunks
+            chunk_h, (pos, vel, angvel, shear), dt_rows, length=n_chunks,
+            unroll=unroll
         )
         return pos, vel, angvel, jnp.max(overflows), shear
 
@@ -1153,7 +1166,8 @@ def dem_substeps(
                 return (pos_n, vel_n, angvel_n, a2, aw2, fc2, tc2), None
 
             (pos, vel, angvel, _, _, fc, tc), _ = jax.lax.scan(
-                body, (pos, vel, angvel, a0, aw0, fc, tc), dt_row, length=every
+                body, (pos, vel, angvel, a0, aw0, fc, tc), dt_row,
+                length=every, unroll=unroll
             )
             return (pos, vel, angvel, fc, tc), overflow
 
@@ -1165,7 +1179,8 @@ def dem_substeps(
                 nbr0 = build_neighbor_list(pos, active, grid, cfg, r_max)
             fc0, tc0 = contact_eval(nbr0, pos, vel, angvel)
         (pos, vel, angvel, fc, tc), overflows = jax.lax.scan(
-            chunk_c, (pos, vel, angvel, fc0, tc0), dt_rows, length=n_chunks
+            chunk_c, (pos, vel, angvel, fc0, tc0), dt_rows, length=n_chunks,
+            unroll=unroll
         )
         return pos, vel, angvel, jnp.max(overflows), fc, tc
 
@@ -1183,12 +1198,12 @@ def dem_substeps(
         a0, aw0 = accel(pos, vel, angvel)
         (pos, vel, angvel, _, _), _ = jax.lax.scan(
             substep_body(accel), (pos, vel, angvel, a0, aw0), dt_row,
-            length=every
+            length=every, unroll=unroll
         )
         return (pos, vel, angvel), overflow
 
     (pos, vel, angvel), overflows = jax.lax.scan(
-        chunk, (pos, vel, angvel), dt_rows, length=n_chunks
+        chunk, (pos, vel, angvel), dt_rows, length=n_chunks, unroll=unroll
     )
     return pos, vel, angvel, jnp.max(overflows)
 
