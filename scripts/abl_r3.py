@@ -300,6 +300,13 @@ def main():
         measure("DW W2 + window_dynamic", dataclasses.replace(
             c, coupling=dataclasses.replace(c.coupling,
                                             window_dynamic=True)))
+    if sel is None or "DU" in (sel or []):
+        # combined round-5 candidate: dynamic window staging + unrolled
+        # substep scan on the W2 (tracked bench) config
+        c = _window_cfg(ncorr=2)
+        measure("DU W2 + dynamic + unroll", dataclasses.replace(
+            c, coupling=dataclasses.replace(c.coupling, window_dynamic=True),
+            dem=dataclasses.replace(c.dem, substep_unroll=True)))
     if sel is None or "UN" in (sel or []):
         # round-5 candidate: fully unrolled DEM substep scan (no carry
         # round-trip per substep; scripts/micro_dem1m_b.py measured

@@ -43,7 +43,8 @@ def main():
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="window", slot_capacity=4,
-                                   packed_unbin=True, dy_in_kernel=True),
+                                   packed_unbin=True, dy_in_kernel=True,
+                                   window_dynamic="--dynamic" in sys.argv),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -51,6 +52,7 @@ def main():
             neighbor="cells", cell_capacity=4, max_neighbors=8,
             force_chunks=8, list_reuse=True, list_rebuild_steps=5,
             refined_neighbors=4, carry_contact=True,
+            substep_unroll="--no-unroll" not in sys.argv,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
