@@ -81,10 +81,16 @@ def main():
         # the zero-overflow assertion below keeps the number honest either
         # way. Rule: this config changes only together with a fresh passing
         # end-to-end bench.py log in the same commit.
+        # window_dynamic: per-plane trip-count staging loop — each plane's
+        # one-hot MXU staging runs ceil(count/128) trips instead of W/128
+        # (mean occupancy ~950/plane vs the 2048 auto window here).
+        # Measured same-process: 32.82 -> 27.07 ms/step (abl W2 vs DW,
+        # PERF.md round-5); ovf=0, p_iters unchanged.
         coupling=cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                    stencil_shape="sphere2",
                                    exchange="window", slot_capacity=4,
-                                   dy_in_kernel=True, planes_window=0),
+                                   dy_in_kernel=True, planes_window=0,
+                                   window_dynamic=True),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81),
@@ -116,6 +122,9 @@ def main():
             carry_contact=not yade_physics,
             shear_history=yade_physics,
             dynamic_substeps=yade_physics,
+            # unrolled substep scan: free here (abl UN 32.61 vs W2 32.82),
+            # -288 ms/step at the 1M scale (micro_dem1m_b.py carry copies)
+            substep_unroll=True,
         ),
         pimple=PIMPLEConfig(
             # tracked metric runs the reference-like 2-corrector PIMPLE loop

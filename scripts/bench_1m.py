@@ -57,7 +57,9 @@ def main():
         coupling=(cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                     stencil_shape="sphere2",
                                     exchange="window", slot_capacity=4,
-                                    packed_unbin=True, dy_in_kernel=True)
+                                    packed_unbin=True, dy_in_kernel=True,
+                                    window_dynamic="--no-dynamic"
+                                    not in sys.argv)
                   if fast else
                   cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                     stencil_shape="sphere2",
