@@ -19,13 +19,18 @@ import time
 import numpy as np
 
 
-def main():
-    # --fast: the round-4 candidate pipeline — window-staged exchange
-    # (no staging table, so no slab chunking needed even at 256^3;
-    # packed_unbin keeps the result table at its true 1.07 GB instead of
-    # the 8.6 GB lane-padded transpose) + the spectral pressure
-    # preconditioner.
-    fast = "--fast" in sys.argv
+def build_case(argv):
+    """(cfg, state) for the north-star config — shared with mem_1m.py so
+    the memory analysis inspects EXACTLY the benchmarked program.
+
+    --fast: the round-4 candidate pipeline — window-staged exchange
+    (no staging table, so no slab chunking needed even at 256^3;
+    packed_unbin keeps the result table at its true 1.07 GB instead of
+    the 8.6 GB lane-padded transpose) + the spectral pressure
+    preconditioner.
+    """
+    sys_argv = argv
+    fast = "--fast" in sys_argv
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/yofc_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -59,7 +64,7 @@ def main():
                                     exchange="window", slot_capacity=4,
                                     packed_unbin=True, dy_in_kernel=True,
                                     window_dynamic="--no-dynamic"
-                                    not in sys.argv)
+                                    not in sys_argv)
                   if fast else
                   cp.CouplingConfig(gaussian=True, lag_alpha=True,
                                     stencil_shape="sphere2",
@@ -80,7 +85,7 @@ def main():
             # round-5: unrolled substep scan (micro_dem1m_b.py: the rolled
             # 4-substep scan pays ~72 ms/substep of carry round-trips at
             # 1M — 978 vs 690 ms unrolled)
-            substep_unroll="--no-unroll" not in sys.argv,
+            substep_unroll="--no-unroll" not in sys_argv,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
@@ -112,9 +117,18 @@ def main():
         make_turbulence_state(grid, k0=1e-6),
         cfg, dt=5e-5,
     )
+    return cfg, state
 
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from yade_openfoam_coupling_tpu.models import coupled as cd
+
+    cfg, state = build_case(sys.argv)
     n_steps = 3
-    run = cd.make_scan_fn(cfg, n_steps)
+    run = cd.make_scan_fn(cfg, n_steps,
+                          donate="--no-donate" not in sys.argv)
 
     def materialize(state):
         return float(jnp.sum(state.fluid.p)) + float(jnp.sum(state.particles.pos))

@@ -58,7 +58,10 @@ def main():
                                    exchange=("planes" if "--exchange=planes"
                                              in sys.argv else "window"),
                                    slot_capacity=4,
-                                   packed_bin="col", dy_in_kernel=True),
+                                   packed_bin="col", dy_in_kernel=True,
+                                   # round-5 tracked-config winner (abl DW)
+                                   window_dynamic="--no-dynamic"
+                                   not in sys.argv),
         dem=dem.DEMConfig(
             params=dem.ContactParams(kn=100.0, rho_p=2500.0),
             gravity=(0.0, 0.0, -9.81), rho_f=1000.0,
@@ -70,6 +73,7 @@ def main():
             # particles coupled) — the sharded analog of the local
             # statically-scheduled rebuild
             list_reuse=True, list_rebuild_steps=10,
+            substep_unroll=True,
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

@@ -121,3 +121,16 @@ def test_fluidized_bed_with_inlet():
     q_bot = float(jnp.sum(state.fluid.phi[2][:, :, 0]))
     q_top = float(jnp.sum(state.fluid.phi[2][:, :, -1]))
     np.testing.assert_allclose(q_top, q_bot, rtol=5e-2)
+
+
+def test_scan_fn_donate_matches_undonated():
+    """make_scan_fn(donate=True) donates the input SimState (HBM headroom
+    at the 1M/256^3 scale) and must be bit-identical to the undonated
+    scan, including with the aliased nbr_ref_pos=pos initial state."""
+    cfg, state, dt = cases.sedimentation_cloud(n_particles=60, n=12)
+    s_ref, _ = cd.make_scan_fn(cfg, 4)(state)
+    s_don, _ = cd.make_scan_fn(cfg, 4, donate=True)(state)
+    np.testing.assert_array_equal(np.asarray(s_don.fluid.p),
+                                  np.asarray(s_ref.fluid.p))
+    np.testing.assert_array_equal(np.asarray(s_don.particles.pos),
+                                  np.asarray(s_ref.particles.pos))

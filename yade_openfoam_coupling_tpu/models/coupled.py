@@ -500,7 +500,7 @@ def make_step_fn(cfg: CaseConfig):
     return jax.jit(lambda s: coupled_step(s, cfg))
 
 
-def make_scan_fn(cfg: CaseConfig, n_steps: int):
+def make_scan_fn(cfg: CaseConfig, n_steps: int, donate: bool = False):
     """jit-compiled `lax.scan` over n_steps coupled steps (the inner loop
     the benchmarks time — zero host round-trips between steps).
 
@@ -508,9 +508,36 @@ def make_scan_fn(cfg: CaseConfig, n_steps: int):
     is restructured as chunks of [one unconditional Verlet-list rebuild ->
     K frozen-list steps]: the rebuild amortizes 1/K with NO per-step
     `lax.cond` (see DEMConfig.list_rebuild_steps; staleness is surfaced in
-    `StepDiagnostics.n_contact_overflow`)."""
+    `StepDiagnostics.n_contact_overflow`).
+
+    `donate=True` donates the input SimState buffers to the call (the
+    caller must not reuse the passed-in state) — at the 1M/256^3 scale the
+    undonated input pins ~2 GB of HBM across the whole step, which matters
+    when the program runs near the 16 GB ceiling."""
     K = cfg.dem.list_rebuild_steps
     chunked = (cfg.dem.list_reuse and K > 0 and cfg.dem.neighbor == "cells")
+    jit_kw = {"donate_argnums": (0,)} if donate else {}
+
+    def _finish(jitted):
+        if not donate:
+            return jitted
+
+        # XLA refuses to donate the same buffer twice; SimState can hold
+        # aliased leaves (initialize_state sets nbr_ref_pos = pos). Copy
+        # second occurrences on device before the donating call.
+        def wrapped(state: SimState):
+            seen = set()
+
+            def dedup(x):
+                if id(x) in seen:
+                    return jnp.asarray(x).copy()
+                seen.add(id(x))
+                return x
+
+            return jitted(jax.tree.map(dedup, state))
+
+        wrapped.lower = jitted.lower
+        return wrapped
 
     if not chunked:
         def run(state: SimState):
@@ -518,7 +545,7 @@ def make_scan_fn(cfg: CaseConfig, n_steps: int):
                 s, d = coupled_step(s, cfg)
                 return s, d
             return jax.lax.scan(body, state, None, length=n_steps)
-        return jax.jit(run)
+        return _finish(jax.jit(run, **jit_kw))
 
     n_chunks, rem = divmod(n_steps, K)
     sizes = [K] * n_chunks + ([rem] if rem else [])
@@ -556,4 +583,4 @@ def make_scan_fn(cfg: CaseConfig, n_steps: int):
         d_all = jax.tree.map(lambda *xs: jnp.concatenate(xs), *diags)
         return state, d_all
 
-    return jax.jit(run)
+    return _finish(jax.jit(run, **jit_kw))
