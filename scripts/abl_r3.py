@@ -318,6 +318,15 @@ def main():
         # static window 1536 (vs auto 2048 = 2.5x mean): 25% less one-hot
         # MXU staging work; ovf must stay 0 for the cut to be honest
         measure("WW WF + window=1536", _window_cfg(W=1536))
+    if sel is None or "CM" in (sel or []):
+        # round-5: channel-major pair force (DEMConfig.pair_layout) on the
+        # current tracked config (DU) — at 1M it cut the contact eval 7x
+        # (micro_dem1m_d: 1255.6 -> 179.5 ms); measure the 100k effect
+        c = _window_cfg(ncorr=2)
+        measure("CM DU + pair_layout=channels", dataclasses.replace(
+            c, coupling=dataclasses.replace(c.coupling, window_dynamic=True),
+            dem=dataclasses.replace(c.dem, substep_unroll=True,
+                                    pair_layout="channels")))
     if sel is None or "NT" in (sel or []):
         # turbulence cost probe: BW config with the laminar closure (the
         # kEqn transport's in-context cost has not been measured since

@@ -86,6 +86,10 @@ def build_case(argv):
             # 4-substep scan pays ~72 ms/substep of carry round-trips at
             # 1M — 978 vs 690 ms unrolled)
             substep_unroll="--no-unroll" not in sys_argv,
+            # round-5: channel-major pair math (micro_dem1m_d: the rows
+            # layout pays a 32-85x lane-padding tax on every VPU op —
+            # 1255.6 -> 179.5 ms for the chained 4-substep contact chain)
+            pair_layout=("rows" if "--rows" in sys_argv else "channels"),
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

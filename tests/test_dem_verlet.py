@@ -420,3 +420,39 @@ def test_substep_unroll_bit_identical():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7,
                                        err_msg=variant)
+
+
+@pytest.mark.parametrize("periodic", [(False,) * 3, (True, True, False)])
+@pytest.mark.parametrize("chunks", [1, 4])
+def test_pair_layout_channels_matches_rows(periodic, chunks):
+    """pair_layout='channels' (SoA (M, n) math, the round-5 1M padding-tax
+    fix) must reproduce the rows layout to FMA/reassociation-level
+    rounding — identical formulas, different array layout."""
+    import dataclasses
+    rng = np.random.RandomState(3)
+    N = 96
+    grid = Grid.cube(16, 1.0)
+    r = 0.03
+    pos = jnp.asarray(rng.uniform(0.05, 0.95, (N, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.2, (N, 3)), jnp.float32)
+    ang = jnp.asarray(rng.normal(0, 0.5, (N, 3)), jnp.float32)
+    rad = jnp.asarray(rng.uniform(0.02, 0.03, N), jnp.float32)
+    act = jnp.asarray(rng.rand(N) > 0.1)
+
+    cfg = dem.DEMConfig(
+        params=_params(), neighbor="cells", cell_capacity=32,
+        max_neighbors=32, periodic=periodic,
+        wall_axes=tuple(not p for p in periodic), force_chunks=chunks,
+    )
+    nbr = dem.build_neighbor_list(pos, act, grid, cfg, float(rad.max()))
+    f_r, t_r = dem.neighbor_contact_forces(nbr, pos, vel, ang, rad, act,
+                                           grid, cfg)
+    cfg_c = dataclasses.replace(cfg, pair_layout="channels")
+    f_c, t_c = dem.neighbor_contact_forces(nbr, pos, vel, ang, rad, act,
+                                           grid, cfg_c)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_r),
+                               rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_r),
+                               rtol=5e-5, atol=1e-8)
+    # at least some real contacts in the fixture
+    assert float(jnp.sum(jnp.abs(f_r))) > 0

@@ -202,6 +202,25 @@ class DEMConfig:
     # substep at that scale. Costs compile time (body duplicated n_sub
     # times); keep False for large n_sub or memory-tight configs.
     substep_unroll: bool = False
+    # Force the candidate row-gather result to materialize ONCE per
+    # evaluation (jax.lax.optimization_barrier after `data[nbr]`). Without
+    # it XLA is free to duplicate the gather into each consumer fusion
+    # (pos_j / vel_j / ang_j / rad-act slice chains), re-paying the ~7
+    # ns/row random-row cost several times — the round-5 1M bisect
+    # (scripts/micro_dem1m_c.py) measured a chained contact eval at ~4x
+    # the raw-gather floor. Measured: NO effect (1255.7 vs 1255.6 ms,
+    # micro_dem1m_d) — the gather is not duplicated; kept as a probe.
+    gather_barrier: bool = False
+    # Pair-force evaluation layout: 'rows' evaluates on the gathered
+    # (n, M, 3)/(n, M) arrays (minor dims 3 and M lane-pad 32-85x — every
+    # VPU op pays that inflation); 'channels' transposes the gathered
+    # candidate table ONCE to (11, M, n) and runs the identical formulas
+    # on (M, n) component arrays (minor dim = n, no padding) via
+    # `_pair_force_cm`. The 1M bisect measured ~180 ms/eval of pure
+    # rows-layout math vs a ~45 ms gather floor (micro_dem1m_d.py);
+    # channels removes most of it. Non-shear path only (shear history
+    # keeps rows).
+    pair_layout: str = "rows"
 
 
 # dense-roll candidate table budget: the transposed (nbin*cap, 27) gather
@@ -389,6 +408,63 @@ def _pair_force_shear(
     f = jnp.where(touching[..., None], f_n + f_t, 0.0)
     torque = jnp.where(touching[..., None], jnp.cross(ci, f_t), 0.0)
     return f, torque, xi_new
+
+
+def _cross_cm(a, b):
+    """Cross product on component triples (each component any shape)."""
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _pair_force_cm(dx, vi, vj, wi, wj, ri, rj, mi, mj,
+                   p: ContactParams, valid):
+    """`_pair_force` in CHANNEL-MAJOR (structure-of-arrays) form: every
+    vector argument is an (x, y, z) tuple of (M, n) component arrays and
+    scalars are (M, n)/broadcastable, so the minor dimension of every
+    intermediate is the large particle axis.
+
+    Why this exists: the rows-layout pair math runs on (n, M, 3)/(n, M)
+    transients whose trailing dims lane-pad 32-85x on TPU — the round-5
+    1M bisect (scripts/micro_dem1m_d.py) measured ~180 ms/eval of pure
+    elementwise math, ~4x the gather floor, exactly the padding tax.
+    Identical formulas, op for op, to `_pair_force`."""
+    dist = jnp.sqrt(dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2])
+    overlap = ri + rj - dist
+    touching = valid & (overlap > 0.0) & (dist > 1e-12)
+    dist_safe = jnp.where(dist > 1e-12, dist, 1.0)
+    n = tuple(c / dist_safe for c in dx)                # from j toward i
+
+    ci = tuple(-ri * c for c in n)
+    cj = tuple(rj * c for c in n)
+    v_rel = tuple((vi[k] + wxci) - (vj[k] + wxcj)
+                  for k, (wxci, wxcj) in enumerate(
+                      zip(_cross_cm(wi, ci), _cross_cm(wj, cj))))
+    v_n = v_rel[0] * n[0] + v_rel[1] * n[1] + v_rel[2] * n[2]
+    v_t = tuple(v_rel[k] - v_n * n[k] for k in range(3))
+
+    m_eff = (mi * mj) / jnp.maximum(mi + mj, 1e-30)
+    cn = _normal_damping(p.kn, m_eff, p.restitution)
+
+    f_n_mag = jnp.maximum(p.kn * overlap - cn * v_n, 0.0)
+    f_n = tuple(f_n_mag * c for c in n)
+
+    kt = p.kt_over_kn * p.kn
+    ct = 2.0 * 0.5 * jnp.sqrt(kt * m_eff)
+    f_t = tuple(-ct * c for c in v_t)
+    f_t_mag = jnp.sqrt(f_t[0] * f_t[0] + f_t[1] * f_t[1]
+                       + f_t[2] * f_t[2])
+    cap = p.friction * f_n_mag
+    scale = jnp.where(f_t_mag > 1e-30,
+                      jnp.minimum(1.0, cap / jnp.maximum(f_t_mag, 1e-30)),
+                      0.0)
+    f_t = tuple(c * scale for c in f_t)
+
+    zero = jnp.zeros((), dist.dtype)
+    f = tuple(jnp.where(touching, f_n[k] + f_t[k], zero) for k in range(3))
+    torque = tuple(jnp.where(touching, c, zero)
+                   for c in _cross_cm(ci, f_t))
+    return f, torque
 
 
 def _min_image(dx: jnp.ndarray, grid: Grid, periodic) -> jnp.ndarray:
@@ -794,9 +870,45 @@ def neighbor_contact_forces(
     )
     data = jnp.concatenate([data, jnp.zeros((1, 11), data.dtype)])
 
+    def eval_block_cm(args):
+        # channel-major eval: one transpose to (11, M, n), then all pair
+        # math on (M, n) component arrays (see DEMConfig.pair_layout)
+        nbr_b, pos_b, vel_b, ang_b, rad_b, act_b, _ = args
+        dj = data[nbr_b]                                # (n, M, 11)
+        djT = jnp.transpose(dj, (2, 1, 0))              # (11, M, n)
+        pos_j = (djT[0], djT[1], djT[2])
+        vel_j = (djT[3], djT[4], djT[5])
+        ang_j = (djT[6], djT[7], djT[8])
+        rad_j, act_j = djT[9], djT[10] > 0.5
+        m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
+        m_b = particle_mass(rad_b, p.rho_p)
+        valid = act_j & act_b[None, :] & (nbr_b.T != N)
+        L = grid.lengths
+        dx = []
+        for c in range(3):
+            d = pos_b[:, c][None, :] - pos_j[c]
+            if cfg.periodic[c]:
+                d = d - L[c] * jnp.round(d / L[c])
+            dx.append(d)
+        f, t = _pair_force_cm(
+            tuple(dx),
+            tuple(vel_b[:, c][None, :] for c in range(3)), vel_j,
+            tuple(ang_b[:, c][None, :] for c in range(3)), ang_j,
+            rad_b[None, :], rad_j,
+            m_b[None, :], m_j,
+            p, valid,
+        )
+        fs = jnp.stack([jnp.sum(c, axis=0) for c in f], axis=-1)
+        ts = jnp.stack([jnp.sum(c, axis=0) for c in t], axis=-1)
+        return fs, ts, None
+
     def eval_block(args):
+        if cfg.pair_layout == "channels" and args[-1] is None:
+            return eval_block_cm(args)
         nbr_b, pos_b, vel_b, ang_b, rad_b, act_b, xi_b = args
         dj = data[nbr_b]                                # (n, M, 11)
+        if cfg.gather_barrier:
+            dj = jax.lax.optimization_barrier(dj)
         pos_j, vel_j, ang_j = dj[..., 0:3], dj[..., 3:6], dj[..., 6:9]
         rad_j, act_j = dj[..., 9], dj[..., 10] > 0.5
         m_j = particle_mass(jnp.maximum(rad_j, 1e-12), p.rho_p)
