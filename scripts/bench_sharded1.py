@@ -74,6 +74,7 @@ def main():
             # statically-scheduled rebuild
             list_reuse=True, list_rebuild_steps=10,
             substep_unroll=True,
+            pair_layout=("rows" if "--rows" in sys.argv else "channels"),
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,

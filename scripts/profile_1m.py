@@ -53,6 +53,7 @@ def main():
             force_chunks=8, list_reuse=True, list_rebuild_steps=5,
             refined_neighbors=4, carry_contact=True,
             substep_unroll="--no-unroll" not in sys.argv,
+            pair_layout=("rows" if "--rows" in sys.argv else "channels"),
         ),
         pimple=PIMPLEConfig(
             n_outer=1, n_correctors=1,
@@ -150,11 +151,62 @@ def main():
             return jnp.sum(u)
         return jax.jit(go)
 
-    timeit("full step (K=5 amortized)", full)
-    timeit("exchange (window)", exch)
-    timeit("DEM substeps (prebuilt list)", demsub)
-    timeit("Verlet rebuild", rebuild)
-    timeit("fluid (turb + pimple)", fluid)
+    # --- exchange internals (round 5): bins vs kernel vs unbin -------------
+    from yade_openfoam_coupling_tpu.ops import coupling_window as cw
+
+    pf0 = cp.ParticleFields(ps0.pos, ps0.vel, ps0.angvel, ps0.radius,
+                            ps0.active)
+    W = cw.window_size(n_particles, nx, cfg.coupling.planes_window)
+
+    def exbins(n):
+        def go():
+            def body(pos, _):
+                bins = cw.window_bins(pf0._replace(pos=pos), grid,
+                                      cfg.coupling.slot_capacity, W,
+                                      with_angvel=cfg.coupling.use_torque)
+                return pos + 0.0 * jnp.sum(bins.dat_win[0, 0, :8]), None
+            p, _ = jax.lax.scan(body, ps0.pos, None, length=n)
+            return jnp.sum(p)
+        return jax.jit(go)
+
+    bins0 = jax.jit(lambda pos: cw.window_bins(
+        pf0._replace(pos=pos), grid, cfg.coupling.slot_capacity, W,
+        with_angvel=cfg.coupling.use_torque))(ps0.pos)
+    C_in = 10  # u(3) + grad_p(3) + div_tau(3) + prev_alpha(1), no torque
+    F0 = jnp.zeros((C_in, nx, nx, nx), jnp.float32)
+
+    def exkern(n):
+        periodic = cfg.bcs.periodic_axes()
+        def go():
+            def body(F, _):
+                stks, combos, pres = cw.window_exchange_padded(
+                    cw.pad_wrap_zero(F, periodic), bins0.dat_win, grid,
+                    periodic, cfg.coupling, 0, tp.nu, tp.rho_f,
+                    interpret=jax.default_backend() != "tpu",
+                    counts=(bins0.counts if cfg.coupling.window_dynamic
+                            else None))
+                return F + 0.0 * (jnp.sum(stks[0, 0, 0, :2, :2])
+                                  + jnp.sum(pres[0, 0, :2])), None
+            F, _ = jax.lax.scan(body, F0, None, length=n)
+            return jnp.sum(F)
+        return jax.jit(go)
+
+    sel = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            sel = set(a.split("=", 1)[1].split(","))
+    stages = {
+        "full": lambda: timeit("full step (K=5 amortized)", full),
+        "exch": lambda: timeit("exchange (window)", exch),
+        "dem": lambda: timeit("DEM substeps (prebuilt list)", demsub),
+        "rebuild": lambda: timeit("Verlet rebuild", rebuild),
+        "fluid": lambda: timeit("fluid (turb + pimple)", fluid),
+        "exbins": lambda: timeit("exchange: window_bins only", exbins),
+        "exkern": lambda: timeit("exchange: pallas kernel only", exkern),
+    }
+    for name, fn in stages.items():
+        if sel is None or name in sel:
+            fn()
 
 
 if __name__ == "__main__":
