@@ -125,6 +125,13 @@ def main():
             # unrolled substep scan: free here (abl UN 32.61 vs W2 32.82),
             # -288 ms/step at the 1M scale (micro_dem1m_b.py carry copies)
             substep_unroll=True,
+            # channel-major pair math (round-5): the rows layout's
+            # (n, M, 3)/(n, M) transients lane-pad 32-85x; channels runs
+            # the identical formulas on (M, n) arrays. Measured 26.74 vs
+            # 27.31 ms/step same-process (abl CM vs DU), 7.0x on the 1M
+            # contact chain (micro_dem1m_d). Shear-history (yade_physics)
+            # keeps rows (history spring state is slot-indexed).
+            pair_layout=("rows" if yade_physics else "channels"),
         ),
         pimple=PIMPLEConfig(
             # tracked metric runs the reference-like 2-corrector PIMPLE loop
