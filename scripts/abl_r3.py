@@ -327,6 +327,16 @@ def main():
             c, coupling=dataclasses.replace(c.coupling, window_dynamic=True),
             dem=dataclasses.replace(c.dem, substep_unroll=True,
                                     pair_layout="channels")))
+    if sel is None or "UG" in (sel or []):
+        # round-5: flat-gather unbin (cfg.unbin_gather) on the CM config —
+        # kills the (ncells, 16) transpose table (1.07 GB materialized at
+        # 128^3) for n_res 1-D gathers
+        c = _window_cfg(ncorr=2)
+        measure("UG CM + unbin_gather", dataclasses.replace(
+            c, coupling=dataclasses.replace(c.coupling, window_dynamic=True,
+                                            unbin_gather=True),
+            dem=dataclasses.replace(c.dem, substep_unroll=True,
+                                    pair_layout="channels")))
     if sel is None or "NT" in (sel or []):
         # turbulence cost probe: BW config with the laminar closure (the
         # kEqn transport's in-context cost has not been measured since

@@ -63,6 +63,8 @@ def build_case(argv):
                                     stencil_shape="sphere2",
                                     exchange="window", slot_capacity=4,
                                     packed_unbin=True, dy_in_kernel=True,
+                                    unbin_gather="--unbin-gather"
+                                    in sys_argv,
                                     window_dynamic="--no-dynamic"
                                     not in sys_argv)
                   if fast else

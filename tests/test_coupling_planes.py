@@ -202,3 +202,27 @@ def test_deposit_kernel_dy_in_kernel_matches():
     np.testing.assert_allclose(np.asarray(out[True].force),
                                np.asarray(out[False].force),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_unbin_gather_matches_select_paths():
+    """cfg.unbin_gather (flat per-channel 1-D gathers) must equal both the
+    transpose-select and packed_unbin repack paths exactly."""
+    rng = np.random.RandomState(11)
+    n_res, cap, ncells, N = 4, 4, 4096, 300
+    per = jnp.asarray(rng.randn(n_res, cap, ncells), jnp.float32)
+    cell = jnp.asarray(
+        np.where(rng.rand(N) < 0.1, ncells, rng.randint(0, ncells, N)),
+        jnp.int32)
+    rank = jnp.asarray(rng.randint(0, cap + 2, N), jnp.int32)
+    keep = (rank < cap) & (cell < ncells)
+
+    def run(**kw):
+        cfg = cp.CouplingConfig(gaussian=True, lag_alpha=True, **kw)
+        return np.asarray(cpp._unbin_rows(per, cell, rank, keep, ncells,
+                                          cfg))
+
+    base = run()
+    packed = run(packed_unbin=True)
+    gathered = run(unbin_gather=True)
+    np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(gathered, base)

@@ -134,6 +134,12 @@ class CouplingConfig:
     # cells per row makes it (ncells/zp, 128) at its true 134 MB. The
     # slot block is then selected by a fused (z-position x rank) one-hot.
     packed_unbin: bool = False
+    # unbin via n_res 1-D element gathers (flat index rank*ncells+cell)
+    # instead of materializing a transposed/packed per-cell table. No
+    # temps at all; cost = n_res * N gather rows (~7 ns/row). At 1M/256^3
+    # the packed_unbin repack is a serial 16-matmul chain over ~1 GB
+    # temps — this replaces it. Takes precedence over packed_unbin.
+    unbin_gather: bool = False
     # slots mode: max particles per fluid cell; overflow is counted and the
     # overflowed particles are uncoupled (found=False) for the step
     slot_capacity: int = 4

@@ -723,6 +723,14 @@ def _unbin_rows(per, cell_sorted, rank, keep, ncells, cfg: cp.CouplingConfig):
     N = cell_sorted.shape[0]
     P = n_res * cap
     cell_c = jnp.minimum(cell_sorted, ncells - 1)
+    if cfg.unbin_gather:
+        # flat per-channel element gathers: no repack, no temps
+        flat = (jnp.minimum(rank, cap - 1).astype(jnp.int32) * ncells
+                + cell_c.astype(jnp.int32))
+        keep_f = keep.astype(per.dtype)
+        cols = [per[c].reshape(cap * ncells)[flat] * keep_f
+                for c in range(n_res)]
+        return jnp.stack(cols, axis=-1)                    # (N, n_res)
     sel = ((rank[:, None] == jnp.arange(cap)[None, :])
            & keep[:, None]).astype(per.dtype)
     zp = max(1, 128 // P)
